@@ -1,0 +1,30 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+
+Multi-chip sharding is validated on host CPU devices (the real TPU slice has
+a single chip in CI); numerics tests use x64 so closed-form oracles are
+tight. The TPU bench path runs float32 — precision-sensitive tests therefore
+also include f32-tolerance variants where it matters.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,143 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_motion_planner_tpu.models.panda import make_panda_limits
+from mpc_motion_planner_tpu.ops.otg import plan_trajectory
+
+
+def _check_profile(traj, p0, v0, pf, vf, vmax, amax, jmax, n=2001, tol=1e-6):
+    """Independent validation: dense sampling + finite differences."""
+    T = float(traj.duration)
+    ts = jnp.linspace(0.0, T, n)
+    p, v, a = jax.vmap(traj.at_time)(ts)
+    p, v, a = np.asarray(p), np.asarray(v), np.asarray(a)
+
+    # boundary conditions
+    np.testing.assert_allclose(p[0], p0, atol=1e-9)
+    np.testing.assert_allclose(v[0], v0, atol=1e-9)
+    np.testing.assert_allclose(a[0], 0.0, atol=1e-9)
+    np.testing.assert_allclose(p[-1], pf, atol=1e-6)
+    np.testing.assert_allclose(v[-1], vf, atol=1e-8)
+    np.testing.assert_allclose(a[-1], 0.0, atol=1e-8)
+
+    # limits (tiny slack for sampling)
+    assert np.all(np.abs(v) <= np.asarray(vmax) * (1 + 1e-9) + 1e-9)
+    assert np.all(np.abs(a) <= np.asarray(amax) * (1 + 1e-9) + 1e-9)
+    dt = T / (n - 1)
+    jerk = np.diff(a, axis=0) / dt
+    assert np.all(np.abs(jerk) <= np.asarray(jmax) * 1.05 + 1e-6)
+
+    # internal consistency: v = dp/dt, a = dv/dt
+    np.testing.assert_allclose(
+        np.diff(p, axis=0) / dt, 0.5 * (v[1:] + v[:-1]), atol=max(dt * np.max(np.abs(a)), 1e-8)
+    )
+    np.testing.assert_allclose(
+        np.diff(v, axis=0) / dt, 0.5 * (a[1:] + a[:-1]), atol=max(dt * np.max(jmax), 1e-8)
+    )
+
+
+def test_rest_to_rest_single_joint():
+    p0 = jnp.zeros(1)
+    pf = jnp.array([1.0])
+    z = jnp.zeros(1)
+    vmax, amax, jmax = jnp.array([2.0]), jnp.array([5.0]), jnp.array([50.0])
+    traj = plan_trajectory(p0, z, pf, z, vmax, amax, jmax)
+    _check_profile(traj, p0, z, pf, z, vmax, amax, jmax)
+    # analytic: long-distance rest-to-rest duration = dp/vmax + vmax/amax + amax/jmax
+    pf2 = jnp.array([10.0])
+    traj2 = plan_trajectory(p0, z, pf2, z, vmax, amax, jmax)
+    expected = 10.0 / 2.0 + 2.0 / 5.0 + 5.0 / 50.0
+    assert float(traj2.duration) == pytest.approx(expected, abs=1e-6)
+
+
+def test_negative_displacement():
+    p0, pf = jnp.zeros(1), jnp.array([-2.0])
+    z = jnp.zeros(1)
+    vmax, amax, jmax = jnp.array([1.5]), jnp.array([4.0]), jnp.array([30.0])
+    traj = plan_trajectory(p0, z, pf, z, vmax, amax, jmax)
+    _check_profile(traj, p0, z, pf, z, vmax, amax, jmax)
+
+
+def test_nonzero_boundary_velocities():
+    rng = np.random.default_rng(0)
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        p0 = jnp.asarray(r.uniform(-1, 1, 1))
+        pf = jnp.asarray(r.uniform(-2, 2, 1))
+        v0 = jnp.asarray(r.uniform(-1.5, 1.5, 1))
+        vf = jnp.asarray(r.uniform(-1.5, 1.5, 1))
+        vmax, amax, jmax = jnp.array([2.0]), jnp.array([8.0]), jnp.array([100.0])
+        traj = plan_trajectory(p0, v0, pf, vf, vmax, amax, jmax)
+        _check_profile(traj, p0, v0, pf, vf, vmax, amax, jmax)
+
+
+def test_overshoot_case():
+    """Moving fast toward a close target: must brake past it and return."""
+    p0, pf = jnp.zeros(1), jnp.array([0.01])
+    v0, vf = jnp.array([1.9]), jnp.zeros(1)
+    vmax, amax, jmax = jnp.array([2.0]), jnp.array([5.0]), jnp.array([50.0])
+    traj = plan_trajectory(p0, v0, pf, vf, vmax, amax, jmax)
+    _check_profile(traj, p0, v0, pf, vf, vmax, amax, jmax)
+    # the trajectory must overshoot past the target
+    ts = jnp.linspace(0.0, float(traj.duration), 801)
+    p, _, _ = jax.vmap(traj.at_time)(ts)
+    assert float(jnp.max(p[:, 0])) > 0.011
+
+
+def test_seven_joint_synchronization_panda():
+    lim = make_panda_limits()
+    rng = np.random.default_rng(3)
+    p0 = jnp.asarray(rng.uniform(-1, 1, 7))
+    pf = jnp.asarray(rng.uniform(-1, 1, 7))
+    v0 = jnp.asarray(rng.uniform(-1, 1, 7))
+    vf = jnp.asarray(rng.uniform(-1, 1, 7))
+    vmax = 0.8 * lim.max_velocity
+    amax = 0.6 * lim.max_acceleration
+    jmax = 0.1 * lim.max_jerk
+    traj = plan_trajectory(p0, v0, pf, vf, vmax, amax, jmax)
+    _check_profile(traj, p0, v0, pf, vf, vmax, amax, jmax, n=4001)
+    # all joints land on target exactly at the synchronized duration
+    p_end, v_end, a_end = traj.at_time(traj.duration)
+    np.testing.assert_allclose(np.asarray(p_end), np.asarray(pf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_end), np.asarray(vf), atol=1e-8)
+
+
+def test_sync_duration_not_shorter_than_per_joint():
+    """The synchronized duration is the max of single-joint durations."""
+    z = jnp.zeros(2)
+    p0 = jnp.zeros(2)
+    pf = jnp.array([1.0, 5.0])
+    vmax, amax, jmax = jnp.full(2, 2.0), jnp.full(2, 5.0), jnp.full(2, 50.0)
+    traj = plan_trajectory(p0, z, pf, z, vmax, amax, jmax)
+    t_slow = plan_trajectory(p0[1:], z[1:], pf[1:], z[1:], vmax[1:], amax[1:], jmax[1:])
+    assert float(traj.duration) == pytest.approx(float(t_slow.duration), abs=1e-9)
+
+
+def test_zero_motion():
+    z = jnp.zeros(3)
+    traj = plan_trajectory(z, z, z, z, jnp.full(3, 1.0), jnp.full(3, 1.0), jnp.full(3, 1.0))
+    assert float(traj.duration) == pytest.approx(0.0, abs=1e-9)
+    p, v, a = traj.at_time(jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(p), 0, atol=1e-12)
+
+
+def test_batched_vmap_jit():
+    rng = np.random.default_rng(4)
+    B = 16
+    p0 = jnp.asarray(rng.uniform(-1, 1, (B, 7)))
+    pf = jnp.asarray(rng.uniform(-1, 1, (B, 7)))
+    v0 = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 7)))
+    vf = jnp.asarray(rng.uniform(-0.5, 0.5, (B, 7)))
+    lim = make_panda_limits()
+    f = jax.jit(
+        lambda a, b, c, d: plan_trajectory(
+            a, b, c, d, lim.max_velocity, lim.max_acceleration, 0.1 * lim.max_jerk
+        )
+    )
+    traj = f(p0, v0, pf, vf)
+    assert traj.duration.shape == (B,)
+    p_end, v_end, _ = traj.at_time(traj.duration)
+    np.testing.assert_allclose(np.asarray(p_end), np.asarray(pf), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_end), np.asarray(vf), atol=1e-6)
