@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""1000-trajectory benchmark — TPU-native equivalent of
+/root/reference/examples/benchmark.cpp, with the serial loop replaced by
+batched solves.
+
+Usage:
+    python examples/benchmark.py [--n 1000] [--batch 250] [--platform tpu]
+        [--x64] [--out analysis/benchmark_data.txt]
+
+Writes the reference-format 162-column records and prints the per-category
+violation table + accuracy stats (the analysis-notebook summaries), plus
+timing.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=250)
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="analysis/benchmark_data.txt")
+    ap.add_argument("--margins", type=float, nargs=5, default=[0.8, 0.8, 0.6, 0.9, 0.1],
+                    help="position velocity acceleration torque jerk (benchmark.cpp:9)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_motion_planner_tpu.bench.analysis import accuracy_stats, violation_counts
+    from mpc_motion_planner_tpu.bench.harness import benchmark_records, chain_states
+    from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
+    from mpc_motion_planner_tpu.utils.io import write_benchmark_records
+
+    planner = MotionPlanner(margins=Margins(*args.margins))
+
+    @jax.jit
+    def run_batch(cur, tgt):
+        sol = planner.solve(cur, tgt)
+        rec, _, _ = benchmark_records(planner, sol, tgt)
+        return rec, sol.violation, sol.qp_iterations
+
+    key = jax.random.PRNGKey(args.seed)
+    current, target = chain_states(planner, key, args.n)
+
+    all_records = []
+    t_total = 0.0
+    for i in range(0, args.n, args.batch):
+        cur_b = current[i : i + args.batch]
+        tgt_b = target[i : i + args.batch]
+        t0 = time.time()
+        rec, viol, qp_iters = jax.block_until_ready(run_batch(cur_b, tgt_b))
+        dt = time.time() - t0
+        t_total += dt
+        all_records.append(np.asarray(rec))
+        print(
+            f"batch {i // args.batch}: {cur_b.shape[0]} solves in {dt:.3f}s "
+            f"({cur_b.shape[0] / dt:.1f} solves/s), "
+            f"median violation {np.median(np.asarray(viol)):.2e}"
+        )
+
+    records = np.concatenate(all_records, axis=0)
+    write_benchmark_records(args.out, records)
+
+    print(f"\ntotal: {args.n} solves in {t_total:.2f}s = {args.n / t_total:.1f} solves/s")
+    print("\nviolation counts (of", args.n, "trajectories):")
+    print(json.dumps(violation_counts(records, planner.limits, planner.margins), indent=2))
+    print("\naccuracy:")
+    print(json.dumps(accuracy_stats(records), indent=2))
+
+
+if __name__ == "__main__":
+    main()

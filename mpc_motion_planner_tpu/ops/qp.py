@@ -1,0 +1,291 @@
+"""Batched OSQP-style boxADMM quadratic-program solver.
+
+TPU-native replacement for polyMPC's ``boxADMM<VAR_SIZE, NUM_EQ+NUM_INEQ>``
+(/root/reference/mpc_solver/motionPlanner.hpp:10-11): ADMM for QPs with both
+general constraint rows  l_c <= A x <= u_c  and separate variable boxes
+l_x <= x <= u_x (identity rows handled implicitly, so the KKT system stays
+n x n). Reference solver budget: max_iter=700, eps_abs=eps_rel=1e-3
+(motionPlanner.cpp:16-19).
+
+TPU-first design decisions:
+* Natively batched: every operand carries a leading batch axis; ONE
+  ``lax.while_loop`` runs until all batch elements converge or the
+  iteration cap is hit. Elements freeze at their own convergence point
+  (masked updates), reproducing per-problem termination semantics of the
+  serial reference while the batch keeps executing.
+* The ADMM linear system M = P + sigma I + rho_x I + A^T diag(rho_c) A is
+  inverted ONCE per solve (batched); each iteration is then pure batched
+  GEMV work that XLA fuses — no per-iteration factorizations.
+* Per-row rho: rows with l == u (equality rows — the collocation defects)
+  get ``rho * rho_eq_scale`` (OSQP convention).
+* P is restricted to a diagonal (vector): the reference's Lagrangian
+  Hessian is identically zero (its second-order constraint derivatives
+  return zeros, robot_ocp.hpp:165-168) and Gershgorin regularization
+  turns it into a small positive diagonal, so the planner only ever needs
+  diagonal P. Dense-P support can be added when a use case appears.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class QPSettings:
+    max_iter: int = dataclasses.field(default=700, metadata={"static": True})
+    check_every: int = dataclasses.field(default=25, metadata={"static": True})
+    eps_abs: float = dataclasses.field(default=1e-3, metadata={"static": True})
+    eps_rel: float = dataclasses.field(default=1e-3, metadata={"static": True})
+    rho: float = dataclasses.field(default=0.1, metadata={"static": True})
+    rho_eq_scale: float = dataclasses.field(default=1e3, metadata={"static": True})
+    sigma: float = dataclasses.field(default=1e-6, metadata={"static": True})
+    alpha: float = dataclasses.field(default=1.6, metadata={"static": True})
+    # Ruiz equilibration sweeps (0 disables). The reference's boxADMM runs
+    # unscaled (its `scaling` knob is commented out, motionPlanner.cpp:21);
+    # the NLP rows span ~2 orders of magnitude so scaling is load-bearing
+    # for convergence within the 700-iteration budget.
+    ruiz_iters: int = dataclasses.field(default=10, metadata={"static": True})
+    # OSQP-style adaptive rho: per-problem rescale every `rho_update_every`
+    # iterations by sqrt(prim/dual residual ratio) (0 disables).
+    rho_update_every: int = dataclasses.field(default=100, metadata={"static": True})
+    rho_min: float = dataclasses.field(default=1e-6, metadata={"static": True})
+    rho_max: float = dataclasses.field(default=1e6, metadata={"static": True})
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class QPSolution:
+    x: jax.Array  # (B, n) primal
+    y_constraints: jax.Array  # (B, m) duals of the A-rows
+    y_box: jax.Array  # (B, n) duals of the variable box
+    converged: jax.Array  # (B,) bool
+    iterations: jax.Array  # (B,) int32 iteration of convergence (or cap)
+    prim_residual: jax.Array  # (B,)
+    dual_residual: jax.Array  # (B,)
+
+
+def _rho_pattern(lb, ub, settings: QPSettings):
+    """Per-row rho multiplier: equality rows get rho_eq_scale."""
+    eq = jnp.abs(ub - lb) < 1e-12
+    return jnp.where(eq, settings.rho_eq_scale, 1.0).astype(lb.dtype)
+
+
+def _ruiz_equilibrate(A, iters: int):
+    """Ruiz equilibration: diagonal D (cols) and E (rows) so the scaled
+    E A D has rows/cols with ~unit inf-norms. Returns (D, E), each >= tiny."""
+    B, m, n = A.shape
+    dt = A.dtype
+    D = jnp.ones((B, n), dt)
+    E = jnp.ones((B, m), dt)
+    def scale(norm):
+        # leave all-zero rows/cols untouched instead of blowing up
+        return jnp.where(norm > 1e-10, 1.0 / jnp.sqrt(jnp.maximum(norm, 1e-10)), 1.0)
+
+    for _ in range(iters):
+        As = E[:, :, None] * A * D[:, None, :]
+        cnorm = jnp.max(jnp.abs(As), axis=1)  # (B, n)
+        rnorm = jnp.max(jnp.abs(As), axis=2)  # (B, m)
+        D = D * scale(cnorm)
+        E = E * scale(rnorm)
+    return D, E
+
+
+def solve_box_qp(
+    P_diag,
+    q,
+    A,
+    lc,
+    uc,
+    lx,
+    ux,
+    settings: QPSettings = QPSettings(),
+    x0=None,
+    yc0=None,
+    yx0=None,
+) -> QPSolution:
+    """Solve a batch of box QPs:  min 1/2 x^T diag(P) x + q^T x
+    s.t. lc <= A x <= uc,  lx <= x <= ux.
+
+    Shapes: P_diag, q, lx, ux: (B, n); A: (B, m, n); lc, uc: (B, m).
+    Warm starts and returned solutions/duals are in UNSCALED units;
+    termination residuals are evaluated in unscaled units as well, so
+    eps_abs/eps_rel retain their reference meaning under equilibration.
+    """
+    B, m, n = A.shape
+    dt = q.dtype
+
+    # ---- Ruiz equilibration (scaled problem solved internally) ----
+    if settings.ruiz_iters > 0:
+        D, E = _ruiz_equilibrate(A, settings.ruiz_iters)
+    else:
+        D = jnp.ones((B, n), dt)
+        E = jnp.ones((B, m), dt)
+    As = E[:, :, None] * A * D[:, None, :]
+    Ps = D * P_diag * D
+    qs = D * q
+    lcs, ucs = E * lc, E * uc
+    lxs, uxs = lx / D, ux / D
+
+    pat_c = _rho_pattern(lc, uc, settings)  # (B, m)
+    pat_x = _rho_pattern(lx, ux, settings)  # (B, n)
+    sigma = jnp.asarray(settings.sigma, dt)
+    alpha = jnp.asarray(settings.alpha, dt)
+    rho0 = jnp.full((B,), settings.rho, dt)
+
+    def factor(rho_s):
+        rc = rho_s[:, None] * pat_c
+        rx = rho_s[:, None] * pat_x
+        M = jnp.einsum("bmi,bm,bmj->bij", As, rc, As)
+        M = M + jax.vmap(jnp.diag)(Ps + sigma + rx)
+        return jnp.linalg.inv(M)
+
+    M_inv0 = factor(rho0)
+
+    x = jnp.zeros((B, n), dt) if x0 is None else x0 / D
+    yc = jnp.zeros((B, m), dt) if yc0 is None else yc0 / E
+    yx = jnp.zeros((B, n), dt) if yx0 is None else yx0 * D
+    zc = jnp.clip(jnp.einsum("bmn,bn->bm", As, x), lcs, ucs)
+    zx = jnp.clip(x, lxs, uxs)
+
+    def residuals(x, zc, zx, yc, yx):
+        """Unscaled OSQP residuals + convergence test + rho ratio."""
+        Ax = jnp.einsum("bmn,bn->bm", As, x)
+        # unscale: rows by 1/E, variables by D, duals by E (c) / 1/D (x)
+        r_prim_c = jnp.max(jnp.abs((Ax - zc) / E), axis=-1)
+        r_prim_x = jnp.max(jnp.abs(D * (x - zx)), axis=-1)
+        r_prim = jnp.maximum(r_prim_c, r_prim_x)
+        Aty = jnp.einsum("bmn,bm->bn", As, yc)
+        r_dual = jnp.max(jnp.abs((Ps * x + qs + Aty + yx) / D), axis=-1)
+        scale_p = jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(Ax / E), axis=-1), jnp.max(jnp.abs(zc / E), axis=-1)
+            ),
+            jnp.maximum(
+                jnp.max(jnp.abs(D * x), axis=-1), jnp.max(jnp.abs(D * zx), axis=-1)
+            ),
+        )
+        scale_d = jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(Ps * x / D), axis=-1),
+                jnp.max(jnp.abs(qs / D), axis=-1),
+            ),
+            jnp.maximum(
+                jnp.max(jnp.abs(Aty / D), axis=-1),
+                jnp.max(jnp.abs(yx / D), axis=-1),
+            ),
+        )
+        eps_p = settings.eps_abs + settings.eps_rel * scale_p
+        eps_d = settings.eps_abs + settings.eps_rel * scale_d
+        conv = (r_prim <= eps_p) & (r_dual <= eps_d)
+        ratio = jnp.sqrt(
+            (r_prim / jnp.maximum(scale_p, 1e-12))
+            / jnp.maximum(r_dual / jnp.maximum(scale_d, 1e-12), 1e-12)
+        )
+        return r_prim, r_dual, conv, ratio
+
+    def step(state):
+        x, zc, zx, yc, yx, done, iters, rp, rd, rho_s, M_inv, k = state
+
+        rc = rho_s[:, None] * pat_c
+        rx = rho_s[:, None] * pat_x
+        rhs = (
+            sigma * x
+            - qs
+            + jnp.einsum("bmn,bm->bn", As, rc * zc - yc)
+            + (rx * zx - yx)
+        )
+        xt = jnp.einsum("bij,bj->bi", M_inv, rhs)
+        zt_c = jnp.einsum("bmn,bn->bm", As, xt)
+
+        x_new = alpha * xt + (1.0 - alpha) * x
+        zc_arg = alpha * zt_c + (1.0 - alpha) * zc
+        zc_new = jnp.clip(zc_arg + yc / rc, lcs, ucs)
+        yc_new = yc + rc * (zc_arg - zc_new)
+        zx_arg = alpha * xt + (1.0 - alpha) * zx
+        zx_new = jnp.clip(zx_arg + yx / rx, lxs, uxs)
+        yx_new = yx + rx * (zx_arg - zx_new)
+
+        # freeze converged problems at their termination point
+        keep = done[:, None]
+        x = jnp.where(keep, x, x_new)
+        zc = jnp.where(keep, zc, zc_new)
+        zx = jnp.where(keep, zx, zx_new)
+        yc = jnp.where(keep, yc, yc_new)
+        yx = jnp.where(keep, yx, yx_new)
+
+        k = k + 1
+
+        def check(args):
+            x, zc, zx, yc, yx, done, iters, rp, rd, rho_s, M_inv = args
+            rp_new, rd_new, conv, ratio = residuals(x, zc, zx, yc, yx)
+            rp = jnp.where(done, rp, rp_new)
+            rd = jnp.where(done, rd, rd_new)
+            newly = conv & ~done
+            iters = jnp.where(newly, k, iters)
+            done = done | conv
+
+            if settings.rho_update_every > 0:
+                want = (
+                    (k % settings.rho_update_every == 0)
+                    & ~done
+                    & ((ratio > 5.0) | (ratio < 0.2))
+                )
+                rho_new = jnp.where(
+                    want,
+                    jnp.clip(rho_s * ratio, settings.rho_min, settings.rho_max),
+                    rho_s,
+                )
+
+                def refactor(_):
+                    return factor(rho_new)
+
+                M_inv = jax.lax.cond(
+                    jnp.any(want), refactor, lambda _: M_inv, operand=None
+                )
+                rho_s = rho_new
+            return x, zc, zx, yc, yx, done, iters, rp, rd, rho_s, M_inv
+
+        args = (x, zc, zx, yc, yx, done, iters, rp, rd, rho_s, M_inv)
+        x, zc, zx, yc, yx, done, iters, rp, rd, rho_s, M_inv = jax.lax.cond(
+            (k % settings.check_every == 0) | (k >= settings.max_iter),
+            check,
+            lambda a: a,
+            args,
+        )
+        return x, zc, zx, yc, yx, done, iters, rp, rd, rho_s, M_inv, k
+
+    def cond(state):
+        *_, done, _, _, _, _, _, k = state
+        return (k < settings.max_iter) & ~jnp.all(done)
+
+    zeros_b = jnp.zeros(B, dt)
+    state = (
+        x,
+        zc,
+        zx,
+        yc,
+        yx,
+        jnp.zeros(B, bool),
+        jnp.full(B, settings.max_iter, jnp.int32),
+        zeros_b,
+        zeros_b,
+        rho0,
+        M_inv0,
+        jnp.asarray(0, jnp.int32),
+    )
+    x, zc, zx, yc, yx, done, iters, rp, rd, *_ = jax.lax.while_loop(cond, step, state)
+
+    return QPSolution(
+        x=D * x,
+        y_constraints=E * yc,
+        y_box=yx / D,
+        converged=done,
+        iterations=iters,
+        prim_residual=rp,
+        dual_residual=rd,
+    )

@@ -1,0 +1,183 @@
+"""Batched SQP solver for the transcribed minimum-time NLP.
+
+Reproduces the semantics of polyMPC's ``SQPBase`` with the reference's
+``MySolver`` customizations (/root/reference/mpc_solver/polympc_redef.hpp):
+
+* Full relinearization every SQP iteration ("fix from Roland",
+  polympc_redef.hpp:133-147) — cost gradient, constraint values and exact
+  constraint Jacobians are recomputed at the current iterate.
+* Hessian regularization by Gershgorin-disc shift (polympc_redef.hpp:41-70).
+  The reference's Lagrangian Hessian is identically zero (its second-order
+  constraint derivatives return zeros, robot_ocp.hpp:165-168, and the cost
+  is linear), so the shift yields the constant diagonal 0.01 — kept here as
+  an explicit function of the (zero) Hessian for fidelity.
+* l1-merit backtracking line search (polympc_redef.hpp:73-121):
+  phi(x) = cost(x) + mu * ||violation(x)||_1 with mu = ||lambda_qp||_inf,
+  Armijo acceptance with slope eta, decrease factor tau; trial steps
+  tau^0 .. tau^(L-2), falling back to tau^(L-1) — vectorized so all L
+  candidates evaluate in one batched sweep instead of a sequential loop.
+* Dual update lam <- lam + alpha (lam_qp - lam), fixed `max_iter`
+  outer iterations (2 in the planner, motionPlanner.cpp:15).
+
+Everything carries a leading batch axis; per-problem OCP callbacks are
+vmapped internally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ocp import NLPBounds, TranscribedOCP
+from .qp import QPSettings, QPSolution, solve_box_qp
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SQPSettings:
+    max_iter: int = dataclasses.field(default=2, metadata={"static": True})
+    line_search_max_iter: int = dataclasses.field(default=10, metadata={"static": True})
+    tau: float = dataclasses.field(default=0.5, metadata={"static": True})
+    eta: float = dataclasses.field(default=0.25, metadata={"static": True})
+    # Gershgorin shift applied to the (zero) Lagrangian Hessian diagonal
+    reg_eps: float = dataclasses.field(default=0.01, metadata={"static": True})
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SQPResult:
+    z: jax.Array  # (B, num_var) final iterate
+    lam_c: jax.Array  # (B, num_eq + num_ineq) constraint duals
+    lam_x: jax.Array  # (B, num_var) variable-box duals
+    cost: jax.Array  # (B,)
+    violation: jax.Array  # (B,) l1 constraint violation at the solution
+    qp_iterations: jax.Array  # (B, sqp_iters)
+    qp_converged: jax.Array  # (B, sqp_iters) bool
+    step_sizes: jax.Array  # (B, sqp_iters)
+
+
+def hessian_regularization_diag(ocp: TranscribedOCP, batch_shape, dtype, eps):
+    """Gershgorin-shift regularization of the Lagrangian Hessian.
+
+    For a general symmetric H the shift makes every Gershgorin disc
+    positive: H_ii += (r_i - H_ii) + eps wherever H_ii - r_i <= 0. The
+    planner's H is exactly zero, so the result is the constant eps diagonal.
+    """
+    return jnp.full((*batch_shape, ocp.num_var), eps, dtype)
+
+
+def constraint_violation(ocp: TranscribedOCP, bounds: NLPBounds, z):
+    """l1 norm of all constraint violations at z (equality defects,
+    inequality box, variable box) — polyMPC's constraints_violation."""
+    c_eq = jax.vmap(ocp.eq_residual)(z)
+    g = jax.vmap(ocp.ineq_residual)(z)
+    v_eq = jnp.sum(jnp.abs(c_eq), axis=-1)
+    v_g = jnp.sum(
+        jnp.maximum(g - bounds.ub_ineq, 0.0) + jnp.maximum(bounds.lb_ineq - g, 0.0),
+        axis=-1,
+    )
+    v_x = jnp.sum(
+        jnp.maximum(z - bounds.ub_var, 0.0) + jnp.maximum(bounds.lb_var - z, 0.0),
+        axis=-1,
+    )
+    return v_eq + v_g + v_x
+
+
+def _line_search(ocp, bounds, z, d, h, mu, settings: SQPSettings):
+    """Vectorized l1-merit backtracking; returns per-problem alpha (B,)."""
+    L = settings.line_search_max_iter
+    tau = settings.tau
+    alphas = jnp.asarray([tau**j for j in range(L)], z.dtype)  # (L,)
+
+    viol0 = constraint_violation(ocp, bounds, z)
+    phi0 = ocp.cost(z) + mu * viol0
+    dphi = jnp.sum(h * d, axis=-1) - mu * viol0  # directional merit derivative
+
+    def merit_at(alpha):
+        z_try = z + alpha * d
+        return ocp.cost(z_try) + mu * constraint_violation(ocp, bounds, z_try)
+
+    phis = jax.vmap(merit_at)(alphas)  # (L, B)
+    accept = phis <= phi0[None, :] + alphas[:, None] * settings.eta * dphi[None, :]
+    # Trials are tau^0 .. tau^(L-2); tau^(L-1) is the untested fallback
+    # (mirrors the loop bounds at polympc_redef.hpp:101-120).
+    accept = accept.at[L - 1, :].set(True)
+    first = jnp.argmax(accept, axis=0)  # (B,) first accepted index
+    return alphas[first]
+
+
+def sqp_solve(
+    ocp: TranscribedOCP,
+    bounds: NLPBounds,
+    z0,
+    settings: SQPSettings = SQPSettings(),
+    qp_settings: QPSettings = QPSettings(),
+    lam_c0=None,
+    lam_x0=None,
+) -> SQPResult:
+    """Run `settings.max_iter` SQP iterations from the warm start z0.
+
+    z0: (B, num_var); bounds leaves are (num_var,)/(num_ineq,) or batched.
+    """
+    B = z0.shape[0]
+    dt = z0.dtype
+    m = ocp.num_eq + ocp.num_ineq
+
+    z = z0
+    lam_c = jnp.zeros((B, m), dt) if lam_c0 is None else lam_c0
+    lam_x = jnp.zeros((B, ocp.num_var), dt) if lam_x0 is None else lam_x0
+
+    qp_iters, qp_conv, alphas_log = [], [], []
+
+    lb_var = jnp.broadcast_to(bounds.lb_var, z.shape)
+    ub_var = jnp.broadcast_to(bounds.ub_var, z.shape)
+    lb_g = jnp.broadcast_to(bounds.lb_ineq, (B, ocp.num_ineq))
+    ub_g = jnp.broadcast_to(bounds.ub_ineq, (B, ocp.num_ineq))
+
+    for _ in range(settings.max_iter):
+        # ---- full relinearization at the current iterate ----
+        c_eq = jax.vmap(ocp.eq_residual)(z)  # (B, num_eq)
+        g = jax.vmap(ocp.ineq_residual)(z)  # (B, num_ineq)
+        A = jax.vmap(ocp.constraint_matrix)(z)  # (B, m, n)
+        h = jax.vmap(ocp.cost_gradient)(z)  # (B, n)
+        P_diag = hessian_regularization_diag(ocp, (B,), dt, settings.reg_eps)
+
+        # ---- QP subproblem over the step d ----
+        lc = jnp.concatenate([-c_eq, lb_g - g], axis=-1)
+        uc = jnp.concatenate([-c_eq, ub_g - g], axis=-1)
+        lx = lb_var - z
+        ux = ub_var - z
+        qp: QPSolution = solve_box_qp(
+            P_diag, h, A, lc, uc, lx, ux, qp_settings, yc0=lam_c, yx0=lam_x
+        )
+        d = qp.x
+
+        # ---- merit line search ----
+        mu = jnp.maximum(
+            jnp.max(jnp.abs(qp.y_constraints), axis=-1),
+            jnp.max(jnp.abs(qp.y_box), axis=-1),
+        )
+        alpha = _line_search(ocp, bounds, z, d, h, mu, settings)
+
+        # ---- primal/dual update ----
+        z = z + alpha[:, None] * d
+        lam_c = lam_c + alpha[:, None] * (qp.y_constraints - lam_c)
+        lam_x = lam_x + alpha[:, None] * (qp.y_box - lam_x)
+
+        qp_iters.append(qp.iterations)
+        qp_conv.append(qp.converged)
+        alphas_log.append(alpha)
+
+    return SQPResult(
+        z=z,
+        lam_c=lam_c,
+        lam_x=lam_x,
+        cost=ocp.cost(z),
+        violation=constraint_violation(ocp, bounds, z),
+        qp_iterations=jnp.stack(qp_iters, axis=-1),
+        qp_converged=jnp.stack(qp_conv, axis=-1),
+        step_sizes=jnp.stack(alphas_log, axis=-1),
+    )

@@ -1,0 +1,135 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_motion_planner_tpu.ops.qp import QPSettings, solve_box_qp
+
+INF = 1e20
+
+
+def _kkt_check(P_diag, q, A, lc, uc, lx, ux, sol, tol=5e-3):
+    """Verify OSQP-style KKT conditions of a returned solution."""
+    x, yc, yx = np.asarray(sol.x), np.asarray(sol.y_constraints), np.asarray(sol.y_box)
+    B = x.shape[0]
+    for b in range(B):
+        Ax = A[b] @ x[b]
+        # primal feasibility
+        assert np.all(Ax <= uc[b] + tol) and np.all(Ax >= lc[b] - tol)
+        assert np.all(x[b] <= ux[b] + tol) and np.all(x[b] >= lx[b] - tol)
+        # stationarity
+        grad = P_diag[b] * x[b] + q[b] + A[b].T @ yc[b] + yx[b]
+        np.testing.assert_allclose(grad, 0, atol=tol * 10)
+        # dual signs: y >= 0 at upper, <= 0 at lower (within tol of the bound)
+        for y, v, lo, hi in ((yc[b], Ax, lc[b], uc[b]), (yx[b], x[b], lx[b], ux[b])):
+            active_up = v > hi - tol
+            active_lo = v < lo + tol
+            inactive = ~active_up & ~active_lo
+            assert np.all(np.abs(y[inactive]) < tol * 50)
+
+
+def test_unconstrained_quadratic():
+    """No active constraints: solution is -q/P."""
+    B, n = 3, 5
+    rng = np.random.default_rng(0)
+    P = jnp.asarray(rng.uniform(1.0, 3.0, (B, n)))
+    q = jnp.asarray(rng.normal(size=(B, n)))
+    A = jnp.zeros((B, 1, n))
+    lc, uc = -INF * jnp.ones((B, 1)), INF * jnp.ones((B, 1))
+    lx, ux = -INF * jnp.ones((B, n)), INF * jnp.ones((B, n))
+    sol = solve_box_qp(P, q, A, lc, uc, lx, ux, QPSettings(eps_abs=1e-6, eps_rel=1e-6, max_iter=2000))
+    assert bool(jnp.all(sol.converged))
+    np.testing.assert_allclose(np.asarray(sol.x), -np.asarray(q) / np.asarray(P), atol=1e-4)
+
+
+def test_box_projection():
+    """Pure box: solution clips the unconstrained minimizer."""
+    B, n = 2, 4
+    rng = np.random.default_rng(1)
+    P = jnp.ones((B, n))
+    q = jnp.asarray(rng.normal(size=(B, n)) * 3)
+    A = jnp.zeros((B, 1, n))
+    lc, uc = -INF * jnp.ones((B, 1)), INF * jnp.ones((B, 1))
+    lx = -0.5 * jnp.ones((B, n))
+    ux = 0.5 * jnp.ones((B, n))
+    sol = solve_box_qp(P, q, A, lc, uc, lx, ux, QPSettings(eps_abs=1e-6, eps_rel=1e-6, max_iter=4000))
+    np.testing.assert_allclose(
+        np.asarray(sol.x), np.clip(-np.asarray(q), -0.5, 0.5), atol=1e-4
+    )
+
+
+def test_equality_constrained_analytic():
+    """min 1/2 x'Px + q'x  s.t.  A x = b  has closed-form KKT solution."""
+    rng = np.random.default_rng(2)
+    n, m = 6, 2
+    P = rng.uniform(0.5, 2.0, n)
+    q = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    b = rng.normal(size=m)
+    K = np.block([[np.diag(P), A.T], [A, np.zeros((m, m))]])
+    sol_kkt = np.linalg.solve(K, np.concatenate([-q, b]))
+
+    sol = solve_box_qp(
+        jnp.asarray(P)[None],
+        jnp.asarray(q)[None],
+        jnp.asarray(A)[None],
+        jnp.asarray(b)[None],
+        jnp.asarray(b)[None],
+        -INF * jnp.ones((1, n)),
+        INF * jnp.ones((1, n)),
+        QPSettings(eps_abs=1e-7, eps_rel=1e-7, max_iter=4000),
+    )
+    assert bool(sol.converged[0])
+    np.testing.assert_allclose(np.asarray(sol.x[0]), sol_kkt[:n], atol=1e-4)
+    # the equality dual matches the KKT multiplier
+    np.testing.assert_allclose(np.asarray(sol.y_constraints[0]), sol_kkt[n:], atol=1e-3)
+
+
+def test_random_inequality_qps_kkt():
+    rng = np.random.default_rng(3)
+    B, n, m = 8, 10, 6
+    P = rng.uniform(0.2, 2.0, (B, n))
+    q = rng.normal(size=(B, n))
+    A = rng.normal(size=(B, m, n))
+    mid = rng.normal(size=(B, m))
+    lc, uc = mid - 0.5, mid + 0.5
+    lx, ux = -2.0 * np.ones((B, n)), 2.0 * np.ones((B, n))
+    sol = solve_box_qp(
+        *map(jnp.asarray, (P, q, A, lc, uc, lx, ux)),
+        QPSettings(eps_abs=1e-5, eps_rel=1e-5, max_iter=4000),
+    )
+    assert bool(jnp.all(sol.converged))
+    _kkt_check(P, q, A, lc, uc, lx, ux, sol, tol=1e-3)
+
+
+def test_batch_elements_converge_independently():
+    """An easy and a hard problem in one batch: both must converge and the
+    recorded iteration counts must differ."""
+    n = 8
+    rng = np.random.default_rng(4)
+    P = np.ones((2, n))
+    q = np.stack([np.zeros(n), rng.normal(size=n) * 5])
+    A = np.stack([np.eye(n)[:4], rng.normal(size=(4, n))])
+    lc = np.stack([-np.ones(4), np.full(4, -0.1)])
+    uc = np.stack([np.ones(4), np.full(4, 0.1)])
+    lx, ux = -3 * np.ones((2, n)), 3 * np.ones((2, n))
+    sol = solve_box_qp(
+        *map(jnp.asarray, (P, q, A, lc, uc, lx, ux)),
+        QPSettings(eps_abs=1e-6, eps_rel=1e-6, max_iter=4000, check_every=5),
+    )
+    assert bool(jnp.all(sol.converged))
+    assert int(sol.iterations[0]) <= int(sol.iterations[1])
+
+
+def test_infeasible_hits_iteration_cap():
+    """Contradictory equality rows: solver must not converge, and must
+    report the cap."""
+    n = 4
+    P = jnp.ones((1, n))
+    q = jnp.zeros((1, n))
+    A = jnp.asarray(np.stack([np.ones(n), np.ones(n)])[None])  # two identical rows
+    lc = jnp.asarray([[0.0, 1.0]])  # x.sum()=0 and x.sum()=1 simultaneously
+    uc = jnp.asarray([[0.0, 1.0]])
+    lx, ux = -INF * jnp.ones((1, n)), INF * jnp.ones((1, n))
+    sol = solve_box_qp(P, q, A, lc, uc, lx, ux, QPSettings(max_iter=200))
+    assert not bool(sol.converged[0])
+    assert int(sol.iterations[0]) == 200
