@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Headline benchmark: aggregate minimum-time MPC solve throughput per chip.
+
+Runs the 1000-trajectory Panda benchmark workload (benchmark.cpp parity:
+margins 0.8/0.8/0.6/0.9/0.1, chained start states, jerk-limited warm start,
+2 SQP x <=700 ADMM iterations at eps 1e-3) as batched solves on the
+available accelerator and reports solves/s.
+
+Prints ONE JSON line:
+    {"metric": "solves_per_s", "value": N, "unit": "solves/s",
+     "vs_baseline": N, ...}
+
+Baseline: the C++ reference publishes no numbers and cannot be built here
+(polyMPC submodule is not vendored; no pinocchio/ruckig on the image —
+BASELINE.md). vs_baseline therefore uses the documented estimate of
+50 solves/s for the single-core C++ reference (2 SQP x 700 ADMM iterations
+on a 400-variable NLP at ~10-20 ms/solve), per BASELINE.md's protocol note.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_SOLVES_PER_S = 50.0
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpc_motion_planner_tpu.bench.harness import chain_states
+    from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
+
+    planner = MotionPlanner(margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1))
+
+    @jax.jit
+    def run(cur, tgt):
+        sol = planner.solve(cur, tgt)
+        X, _, _ = sol.states()
+        err = jnp.max(jnp.abs(X[:, -1] - tgt), axis=-1)
+        return sol.z, sol.violation, err
+
+    key = jax.random.PRNGKey(0)
+    current, target = chain_states(planner, key, batch)
+    current = jax.device_put(current)
+    target = jax.device_put(target)
+
+    # compile + warm up
+    out = jax.block_until_ready(run(current, target))
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(run(current, target))
+        times.append(time.perf_counter() - t0)
+
+    z, violation, err = out
+    best = min(times)
+    solves_per_s = batch / best
+    ok = np.asarray(err < 2e-2)
+
+    result = {
+        "metric": "solves_per_s",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+        "batch": batch,
+        "batch_wall_s": round(best, 4),
+        "p50_latency_ms": round(1e3 * best / batch, 4),
+        "tol_hit_rate": round(float(ok.mean()), 4),
+        "median_violation": float(np.median(np.asarray(violation))),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,21 @@ def solve_box_qp(
     B, m, n = A.shape
     dt = q.dtype
 
+    # TPU matmuls default to bf16 passes, which destroys ADMM convergence
+    # (KKT inverse + iteration matvecs need full f32). Force full precision
+    # for everything traced inside the solver.
+    with jax.default_matmul_precision("highest"):
+        return _solve_box_qp_impl(
+            P_diag, q, A, lc, uc, lx, ux, settings, x0, yc0, yx0
+        )
+
+
+def _solve_box_qp_impl(
+    P_diag, q, A, lc, uc, lx, ux, settings, x0, yc0, yx0
+) -> QPSolution:
+    B, m, n = A.shape
+    dt = q.dtype
+
     # ---- Ruiz equilibration (scaled problem solved internally) ----
     if settings.ruiz_iters > 0:
         D, E = _ruiz_equilibrate(A, settings.ruiz_iters)

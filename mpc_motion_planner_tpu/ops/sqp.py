@@ -122,6 +122,17 @@ def sqp_solve(
 
     z0: (B, num_var); bounds leaves are (num_var,)/(num_ineq,) or batched.
     """
+    # Full-precision matmuls throughout (TPU defaults to bf16 passes, which
+    # is not accurate enough for the Jacobian assembly / dynamics sweeps).
+    with jax.default_matmul_precision("highest"):
+        return _sqp_solve_impl(
+            ocp, bounds, z0, settings, qp_settings, lam_c0, lam_x0
+        )
+
+
+def _sqp_solve_impl(
+    ocp, bounds, z0, settings, qp_settings, lam_c0, lam_x0
+) -> SQPResult:
     B = z0.shape[0]
     dt = z0.dtype
     m = ocp.num_eq + ocp.num_ineq

@@ -1,0 +1,73 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_motion_planner_tpu.ops.qp import QPSettings
+from mpc_motion_planner_tpu.ops.sqp import SQPSettings
+from mpc_motion_planner_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    sharded_solve_fn,
+)
+from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
+
+FAST = dict(
+    sqp_settings=SQPSettings(max_iter=1),
+    qp_settings=QPSettings(max_iter=50, check_every=10, rho_update_every=0),
+)
+
+
+@pytest.fixture(scope="module")
+def planner():
+    return MotionPlanner(margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1), **FAST)
+
+
+def _states(planner, batch):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    q0, v0 = planner.sample_random_state(k1, (batch,))
+    q1, v1 = planner.sample_random_state(k2, (batch,))
+    return jnp.concatenate([q0, v0], -1), jnp.concatenate([q1, v1], -1)
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) >= 8  # conftest forces 8 host CPU devices
+
+
+def test_sharded_solve_matches_single_device(planner):
+    cur, tgt = _states(planner, 8)
+    sol_ref = planner.solve(cur, tgt)
+
+    mesh = make_mesh(jax.devices()[:4])
+    cur_s, tgt_s = shard_batch(mesh, (cur, tgt))
+    step = sharded_solve_fn(planner, mesh)
+    sol, stats = step(cur_s, tgt_s)
+    np.testing.assert_allclose(np.asarray(sol.z), np.asarray(sol_ref.z), atol=2e-8)
+    assert float(stats["mean_violation"]) == pytest.approx(
+        float(jnp.mean(sol_ref.violation)), rel=1e-6
+    )
+
+
+def test_sharding_actually_partitions(planner):
+    mesh = make_mesh(jax.devices()[:4])
+    cur, tgt = _states(planner, 8)
+    cur_s, _ = shard_batch(mesh, (cur, tgt))
+    # each of the 4 devices holds a (2, 14) shard
+    shards = cur_s.addressable_shards
+    assert len(shards) == 4
+    assert all(s.data.shape == (2, 14) for s in shards)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    lowered = jax.jit(fn).lower(*args)
+    compiled = lowered.compile()
+    assert compiled is not None

@@ -1,0 +1,113 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpc_motion_planner_tpu.ops.qp import QPSettings
+from mpc_motion_planner_tpu.ops.sqp import SQPSettings
+from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
+
+
+@pytest.fixture(scope="module")
+def planner():
+    return MotionPlanner(margins=Margins(0.9, 0.9, 0.5, 0.9, 0.1))
+
+
+@pytest.fixture(scope="module")
+def solved(planner):
+    """One easy, well-conditioned solve pair (rest-to-rest, modest move)."""
+    q0 = jnp.asarray([0.0, -0.5, 0.0, -2.0, 0.0, 1.6, 0.0])
+    q1 = q0 + jnp.asarray([0.4, 0.2, -0.3, 0.3, 0.2, -0.2, 0.5])
+    cur = jnp.concatenate([q0, jnp.zeros(7)])[None]
+    tgt = jnp.concatenate([q1, jnp.zeros(7)])[None]
+    return cur, tgt, planner.solve(cur, tgt)
+
+
+def test_solution_reaches_target(planner, solved):
+    cur, tgt, sol = solved
+    X, U, p = sol.states()
+    assert float(sol.violation[0]) < 5e-2
+    # terminal box is +-1e-2 per joint (motionPlanner.hpp:44)
+    np.testing.assert_allclose(np.asarray(X[0, -1]), np.asarray(tgt[0]), atol=1.2e-2)
+    np.testing.assert_allclose(np.asarray(X[0, 0]), np.asarray(cur[0]), atol=1e-9)
+    assert 0.1 < float(p[0]) < 10.0
+
+
+def test_minimum_time_beats_warm_start(planner, solved):
+    """The whole point: t_f at or below the jerk-limited OTG duration."""
+    _, _, sol = solved
+    assert float(sol.final_time[0]) <= float(sol.warm_start.duration[0]) * 1.02
+
+
+def test_solution_respects_limits(planner, solved):
+    _, tgt, sol = solved
+    time, q, qd, qdd, tau = sol.sample(200)
+    m = planner.margins
+    lim = planner.limits
+    tol = 0.08  # interpolation/QP-tolerance slack
+    assert np.all(np.abs(np.asarray(qd)) <= np.asarray(m.velocity * lim.max_velocity) + tol)
+    assert np.all(np.abs(np.asarray(tau)) <= np.asarray(m.torque * lim.max_torque) + 1.0)
+    # monotone time, de-normalized by t_f
+    t = np.asarray(time[0])
+    assert t[0] == 0 and np.all(np.diff(t) > 0)
+    assert t[-1] == pytest.approx(float(sol.final_time[0]))
+
+
+def test_dynamics_consistency(planner, solved):
+    """Independent re-simulation: integrate the sampled accelerations and
+    compare with the sampled velocities (trapezoid)."""
+    _, _, sol = solved
+    time, q, qd, qdd, _ = sol.sample(400)
+    t, v, a = np.asarray(time[0]), np.asarray(qd[0]), np.asarray(qdd[0])
+    dt = np.diff(t)[:, None]
+    v_int = v[0] + np.cumsum(0.5 * (a[1:] + a[:-1]) * dt, axis=0)
+    assert np.max(np.abs(v_int - v[1:])) < 5e-2
+
+
+def test_reseed_guess(planner, solved):
+    cur, tgt, sol = solved
+    z = sol.reseed_guess(cur, tgt)
+    np.testing.assert_allclose(np.asarray(z[0, :14]), np.asarray(cur[0]), atol=0)
+    np.testing.assert_allclose(
+        np.asarray(z[0, 18 * 14 : 19 * 14]), np.asarray(tgt[0]), atol=0
+    )
+    # a hot restart from the reseed converges at least as well
+    sol2 = planner.solve(cur, tgt, z0=z)
+    assert float(sol2.violation[0]) < max(2.0 * float(sol.violation[0]), 1e-2)
+
+
+def test_check_state_in_bounds(planner):
+    lim = planner.limits
+    mid = (lim.min_position + lim.max_position) / 2
+    ok = jnp.zeros(7)
+    assert int(planner.check_state_in_bounds(mid, ok)) == 0
+    assert int(planner.check_state_in_bounds(lim.max_position + 1.0, ok)) == 1
+    assert int(planner.check_state_in_bounds(mid, lim.max_velocity * 2)) == 2
+    assert int(planner.check_state_in_bounds(lim.max_position + 1, lim.max_velocity * 2)) == 3
+    assert int(planner.check_state_in_bounds(mid, ok, lim.max_acceleration * 2)) == 10
+
+
+def test_sample_random_state(planner):
+    q, v = planner.sample_random_state(jax.random.PRNGKey(3), (32,))
+    lo, hi = planner.position_bounds()
+    assert np.all(np.asarray(q) >= np.asarray(lo) - 1e-12)
+    assert np.all(np.asarray(q) <= np.asarray(hi) + 1e-12)
+    vmax = planner.margins.velocity * planner.limits.max_velocity
+    assert np.all(np.abs(np.asarray(v)) <= np.asarray(vmax))
+    # rejection criterion: joint-7 placement height >= min_height
+    from mpc_motion_planner_tpu.ops.kinematics import fk
+
+    for k in range(32):
+        _, p = fk(planner.model, q[k])
+        assert float(p[6, 2]) >= planner.limits.min_height
+
+
+def test_float32_solve_matches_float64(planner, solved):
+    """The TPU path runs f32; the solve must stay usable at f32."""
+    cur, tgt, sol64 = solved
+    p32 = MotionPlanner(margins=Margins(0.9, 0.9, 0.5, 0.9, 0.1), dtype=jnp.float32)
+    sol32 = p32.solve(cur.astype(jnp.float32), tgt.astype(jnp.float32))
+    X32, _, _ = sol32.states()
+    np.testing.assert_allclose(np.asarray(X32[0, -1]), np.asarray(tgt[0]), atol=2e-2)
+    assert abs(float(sol32.final_time[0]) - float(sol64.final_time[0])) < 0.1
+    assert float(sol32.violation[0]) < 0.2
