@@ -36,9 +36,16 @@ def main():
     import numpy as np
 
     from mpc_motion_planner_tpu.bench.harness import chain_states
+    from mpc_motion_planner_tpu.ops.qp import QPSettings
     from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
 
-    planner = MotionPlanner(margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1))
+    backend = os.environ.get("BENCH_QP_BACKEND", "pallas")
+    if jax.default_backend() == "cpu":
+        backend = "xla"  # the fused kernel is TPU-only
+    planner = MotionPlanner(
+        margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1),
+        qp_settings=QPSettings(backend=backend),
+    )
 
     @jax.jit
     def run(cur, tgt):

@@ -120,15 +120,22 @@ def _min_time_cruise_velocity(dp, v0, vf, vmax, amax, jmax, iters):
     return vp, tb, t_ramps + tb
 
 
-def _cruise_velocity_for_duration(dp, v0, vf, vp_star, duration, amax, jmax, iters):
-    """Re-solve vp so the profile lasts exactly `duration` (>= min time)."""
+def _cruise_velocity_for_duration(dp, v0, vf, vmax, duration, amax, jmax, iters):
+    """Re-solve vp so the profile lasts exactly `duration` (>= min time).
+
+    Bisects the CLAMPED fixed-time displacement
+        D_T(vp) = d_ramps(vp) + vp * max(duration - t_ramps(vp), 0)
+    over the full [-vmax, vmax]: with the cruise time clamped at zero both
+    pieces are non-decreasing in vp (ramp-only displacement is, and the
+    cruise term only adds |vp|-weighted time), the function is continuous
+    at the clamp boundary, and for duration >= per-joint minimal time a
+    root with nonnegative cruise always exists — including the cases where
+    the cruise velocity must flip sign against the boundary velocities
+    (e.g. v0 = vf < 0 with a small negative displacement needs vp > 0)."""
 
     def d_fixed_time(vp):
         t_ramps, d = _ramps_time_dist(v0, vp, vf, amax, jmax)
-        return d + vp * (duration - t_ramps)
-
-    lo = jnp.minimum(0.0, vp_star)
-    hi = jnp.maximum(0.0, vp_star)
+        return d + vp * jnp.maximum(duration - t_ramps, 0.0)
 
     def body(_, lohi):
         lo, hi = lohi
@@ -136,7 +143,7 @@ def _cruise_velocity_for_duration(dp, v0, vf, vp_star, duration, amax, jmax, ite
         go_up = d_fixed_time(mid) < dp
         return jnp.where(go_up, mid, lo), jnp.where(go_up, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    lo, hi = jax.lax.fori_loop(0, iters, body, (-vmax, vmax))
     vp = 0.5 * (lo + hi)
     t_ramps, _ = _ramps_time_dist(v0, vp, vf, amax, jmax)
     tb = jnp.maximum(duration - t_ramps, 0.0)
@@ -180,13 +187,13 @@ def plan_trajectory(
     amax = jnp.broadcast_to(max_acceleration, dp.shape).astype(dp.dtype)
     jmax = jnp.broadcast_to(max_jerk, dp.shape).astype(dp.dtype)
 
-    vp_star, _, t_min = _min_time_cruise_velocity(
+    _, _, t_min = _min_time_cruise_velocity(
         dp, v0, vf, vmax, amax, jmax, bisect_iters
     )
     duration = jnp.max(t_min, axis=-1)
 
     vp, tb = _cruise_velocity_for_duration(
-        dp, v0, vf, vp_star, duration[..., None], amax, jmax, bisect_iters
+        dp, v0, vf, vmax, duration[..., None], amax, jmax, bisect_iters
     )
     phase_dt, phase_jerk = _build_phases(v0, vp, vf, tb, amax, jmax)
     return JerkLimitedTrajectory(

@@ -55,6 +55,10 @@ class QPSettings:
     rho_update_every: int = dataclasses.field(default=100, metadata={"static": True})
     rho_min: float = dataclasses.field(default=1e-6, metadata={"static": True})
     rho_max: float = dataclasses.field(default=1e6, metadata={"static": True})
+    # "xla": batched einsum iterations (portable, supports adaptive rho).
+    # "pallas": fused VMEM-resident TPU kernel (fixed rho, float32) — the
+    # matrices stay on-chip for the whole iteration loop.
+    backend: str = dataclasses.field(default="xla", metadata={"static": True})
 
 
 @jax.tree_util.register_dataclass
@@ -93,6 +97,124 @@ def _ruiz_equilibrate(A, iters: int):
         D = D * scale(cnorm)
         E = E * scale(rnorm)
     return D, E
+
+
+def _solve_pallas(
+    As, Ps, qs, lcs, ucs, lxs, uxs, pat_c, pat_x, rho0, D, E,
+    factor, M_inv0, x, yc, yx, settings: QPSettings, dt,
+) -> QPSolution:
+    """Chunked fused-kernel path: VMEM-resident iteration chunks with
+    OSQP-style rho adaptation (+ batched refactorization) between chunks."""
+    from .pallas import admm_kernel as pk
+
+    B, m, n = As.shape
+    f32 = jnp.float32
+    to32 = lambda a: a.astype(f32)
+
+    if settings.rho_update_every > 0:
+        chunk = settings.rho_update_every
+    else:
+        chunk = settings.max_iter
+    n_chunks = -(-settings.max_iter // chunk)
+
+    base = {
+        "A": pk.pad_mat(to32(As)),
+        "P": pk.pad_vec(to32(Ps)),
+        "q": pk.pad_vec(to32(qs)),
+        "lc": pk.pad_vec(to32(lcs)),
+        "uc": pk.pad_vec(to32(ucs)),
+        "lx": pk.pad_vec(to32(lxs)),
+        "ux": pk.pad_vec(to32(uxs)),
+        "D": pk.pad_vec_ones(to32(D)),
+        "E": pk.pad_vec_ones(to32(E)),
+    }
+    rho_s = rho0
+
+    def operands(rho_s, M_inv):
+        ops = dict(base)
+        ops["M_inv"] = pk.pad_mat(to32(M_inv))
+        ops["rc"] = pk.pad_vec_ones(to32(rho_s[:, None] * pat_c))
+        ops["rx"] = pk.pad_vec_ones(to32(rho_s[:, None] * pat_x))
+        return ops
+
+    state = {
+        "x": pk.pad_vec(to32(x)),
+        "zc": pk.pad_vec(to32(jnp.clip(jnp.einsum("bmn,bn->bm", As, x), lcs, ucs))),
+        "zx": pk.pad_vec(to32(jnp.clip(x, lxs, uxs))),
+        "yc": pk.pad_vec(to32(yc)),
+        "yx": pk.pad_vec(to32(yx)),
+        "done": jnp.zeros((B, 1, 1), jnp.int32),
+    }
+
+    def residual_ratio(xs_, zcs_, zxs_, ycs_, yxs_):
+        Ax = jnp.einsum("bmn,bn->bm", As, xs_)
+        r_prim = jnp.maximum(
+            jnp.max(jnp.abs((Ax - zcs_) / E), axis=-1),
+            jnp.max(jnp.abs(D * (xs_ - zxs_)), axis=-1),
+        )
+        Aty = jnp.einsum("bmn,bm->bn", As, ycs_)
+        r_dual = jnp.max(jnp.abs((Ps * xs_ + qs + Aty + yxs_) / D), axis=-1)
+        scale_p = jnp.maximum(
+            jnp.max(jnp.abs(Ax / E), axis=-1), jnp.max(jnp.abs(zcs_ / E), axis=-1)
+        )
+        scale_d = jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(qs / D), axis=-1),
+                jnp.max(jnp.abs(Aty / D), axis=-1),
+            ),
+            jnp.max(jnp.abs(yxs_ / D), axis=-1),
+        )
+        return jnp.sqrt(
+            (r_prim / jnp.maximum(scale_p, 1e-12))
+            / jnp.maximum(r_dual / jnp.maximum(scale_d, 1e-12), 1e-12)
+        )
+
+    M_inv = M_inv0
+    total_used = jnp.zeros(B, jnp.int32)
+    for c in range(n_chunks):
+        state, used = pk.admm_pallas_chunk(
+            operands(rho_s, M_inv),
+            state,
+            chunk_iters=min(chunk, settings.max_iter - c * chunk),
+            check_every=settings.check_every,
+            eps_abs=settings.eps_abs,
+            eps_rel=settings.eps_rel,
+            sigma=settings.sigma,
+            alpha=settings.alpha,
+        )
+        total_used = total_used + used
+        if c < n_chunks - 1 and settings.rho_update_every > 0:
+            done = state["done"][:, 0, 0] > 0
+            xs_ = state["x"][:, 0, :n].astype(dt)
+            ratio = residual_ratio(
+                xs_,
+                state["zc"][:, 0, :m].astype(dt),
+                state["zx"][:, 0, :n].astype(dt),
+                state["yc"][:, 0, :m].astype(dt),
+                state["yx"][:, 0, :n].astype(dt),
+            )
+            want = ~done & ((ratio > 5.0) | (ratio < 0.2))
+            rho_new = jnp.where(
+                want,
+                jnp.clip(rho_s * ratio, settings.rho_min, settings.rho_max),
+                rho_s,
+            )
+            M_inv = jax.lax.cond(
+                jnp.any(want), lambda _: factor(rho_new), lambda _: M_inv, None
+            )
+            rho_s = rho_new
+
+    done = state["done"][:, 0, 0] > 0
+    zb = jnp.zeros(B, dt)
+    return QPSolution(
+        x=D * state["x"][:, 0, :n].astype(dt),
+        y_constraints=E * state["yc"][:, 0, :m].astype(dt),
+        y_box=state["yx"][:, 0, :n].astype(dt) / D,
+        converged=done,
+        iterations=total_used,
+        prim_residual=zb,
+        dual_residual=zb,
+    )
 
 
 def solve_box_qp(
@@ -164,6 +286,12 @@ def _solve_box_qp_impl(
     x = jnp.zeros((B, n), dt) if x0 is None else x0 / D
     yc = jnp.zeros((B, m), dt) if yc0 is None else yc0 / E
     yx = jnp.zeros((B, n), dt) if yx0 is None else yx0 * D
+
+    if settings.backend == "pallas":
+        return _solve_pallas(
+            As, Ps, qs, lcs, ucs, lxs, uxs, pat_c, pat_x, rho0, D, E,
+            factor, M_inv0, x, yc, yx, settings, dt,
+        )
     zc = jnp.clip(jnp.einsum("bmn,bn->bm", As, x), lcs, ucs)
     zx = jnp.clip(x, lxs, uxs)
 

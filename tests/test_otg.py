@@ -141,3 +141,34 @@ def test_batched_vmap_jit():
     p_end, v_end, _ = traj.at_time(traj.duration)
     np.testing.assert_allclose(np.asarray(p_end), np.asarray(pf), atol=1e-5)
     np.testing.assert_allclose(np.asarray(v_end), np.asarray(vf), atol=1e-6)
+
+
+def test_sync_with_reversed_cruise_velocity():
+    """Regression: v0 = vf < 0 with a small negative displacement, heavily
+    stretched by synchronization — the cruise velocity must flip positive.
+    (Found as a 0.23 rad end-position miss in benchmark chain sampling.)"""
+    p0 = jnp.array([0.0, 0.0])
+    v0 = jnp.array([-1.5818181818181818, 0.0])
+    pf = jnp.array([-0.11779583603055088, 2.0])
+    vf = jnp.array([-1.5818181818181816, 0.0])
+    vmax = jnp.array([1.74, 1.74])
+    amax = jnp.array([7.5, 6.0])
+    jmax = jnp.array([625.0, 500.0])
+    traj = plan_trajectory(p0, v0, pf, vf, vmax, amax, jmax)
+    p_end, v_end, a_end = traj.at_time(traj.duration)
+    np.testing.assert_allclose(np.asarray(p_end), np.asarray(pf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_end), np.asarray(vf), atol=1e-8)
+    _check_profile(traj, p0, v0, pf, vf, vmax, amax, jmax, n=4001)
+
+
+def test_chain_sampled_otg_accuracy():
+    """All benchmark-chain warm starts must land on target (<1e-5)."""
+    from mpc_motion_planner_tpu.bench.harness import chain_states
+    from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
+
+    planner = MotionPlanner(margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1))
+    cur, tgt = chain_states(planner, jax.random.PRNGKey(0), 128)
+    traj = planner.plan_warm_start(cur, tgt)
+    p_end, v_end, _ = traj.at_time(traj.duration)
+    assert float(jnp.max(jnp.abs(p_end - tgt[:, :7]))) < 1e-5
+    assert float(jnp.max(jnp.abs(v_end - tgt[:, 7:]))) < 1e-6
