@@ -60,7 +60,8 @@ def test_validate_trajectory_flags(planner):
     assert np.all(np.asarray(checks.linear_velocity) == 1)
 
     # A trajectory whose tool dips below the table trips the collision flag
-    q_low = q.at[0, 10].set(jnp.asarray([0.0, 1.5, 0.0, -0.4, 0.0, 3.0, 0.0]))
+    # tool height at this configuration is -0.198 m (below the table plane)
+    q_low = q.at[0, 10].set(jnp.asarray([0.0, 1.5, 0.0, -1.0, 0.0, 1.5, 0.0]))
     checks2 = validate_trajectory(planner, time, q_low, zeros, zeros)
     assert int(checks2.collision[0]) == 0
     assert int(checks2.collision[1]) == 1
