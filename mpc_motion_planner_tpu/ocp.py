@@ -14,12 +14,16 @@ packing (motionPlanner.cpp:162-174).
 Dynamics (robot_ocp.hpp:56-73): dx/dtau = p * f(x, u) with
 f = [qdot; u] — time is normalized to [0, 1] and p is the (free) final time.
 
-Equality constraints: collocation defects imposed at the order local nodes
-k = 1..3 of every segment (6*3*14 = 252 rows); the initial state is pinned
-via variable bounds (lb = ub) on node 0, the terminal state via the
-target +- eps box on node 18 — so each state trajectory is exactly
-determined by (U, p, x0), mirroring polyMPC's initial_conditions /
-final_state_bounds mechanism.
+Equality constraints: collocation defects imposed at ALL order+1 local
+nodes of every segment (6*4*14 = 336 rows, Gauss–Lobatto collocation as in
+polyMPC's ContinuousOCP). Interior segment-boundary nodes therefore carry a
+defect row from BOTH adjacent segments, which enforces C1 continuity of the
+state spline (left and right slopes both equal t_f*f at the shared node) —
+without it the spline slope is free at segment starts and the sampled
+trajectory's velocity/acceleration disagree between nodes. The initial
+state is pinned via variable bounds (lb = ub) on node 0, the terminal state
+via the target +- eps box on node 18, mirroring polyMPC's
+initial_conditions / final_state_bounds mechanism.
 
 Inequality constraints (robot_ocp.hpp:80-96): per node,
 g = [tau(q, qdot, qddot) (7), z_tool(q) (1)], bounds
@@ -90,7 +94,7 @@ class TranscribedOCP:
 
     @property
     def num_eq(self) -> int:
-        return self.coll.num_segments * self.coll.order * self.nx
+        return self.coll.num_segments * (self.coll.order + 1) * self.nx
 
     @property
     def num_ineq(self) -> int:
@@ -125,11 +129,11 @@ class TranscribedOCP:
         return jnp.concatenate([x[..., nq:], u], axis=-1)
 
     def eq_residual(self, z):
-        """Collocation defects, shape (num_eq,)."""
+        """Collocation defects at every segment-local node, shape (num_eq,)."""
         X, U, p = self.unpack(z)
-        dX = derivative_at_nodes(self.coll, X)[:, 1:, :]  # (S, order, nx)
+        dX = derivative_at_nodes(self.coll, X)  # (S, order+1, nx)
         f = self.dynamics(X, U)  # (nodes, nx)
-        idx = jnp.asarray(self.coll.segment_indices())[:, 1:]  # (S, order)
+        idx = jnp.asarray(self.coll.segment_indices())  # (S, order+1)
         return (dX - p * f[idx]).reshape(-1)
 
     def node_constraints(self, x, u):
@@ -163,7 +167,7 @@ class TranscribedOCP:
         """Dense (num_eq, num_var) defect Jacobian (exact)."""
         X, U, p = self.unpack(z)
         A = self.eq_diff_pattern + p * self.eq_dyn_pattern
-        idx = jnp.asarray(self.coll.segment_indices())[:, 1:].reshape(-1)
+        idx = jnp.asarray(self.coll.segment_indices()).reshape(-1)
         f_rows = self.dynamics(X, U)[idx].reshape(-1)  # (num_eq,)
         return A.at[:, -1].add(-f_rows)
 
@@ -186,7 +190,7 @@ def _build_constant_patterns(coll: Collocation, nx: int, nu: int):
     """Host-side E_D and C_dyn (float64 numpy)."""
     S, order = coll.num_segments, coll.order
     nodes = order * S + 1
-    num_eq = S * order * nx
+    num_eq = S * (order + 1) * nx
     num_var = nodes * (nx + nu) + 1
     D = np.asarray(coll.diff_matrix, dtype=np.float64)
     seg_idx = coll.segment_indices()
@@ -196,10 +200,10 @@ def _build_constant_patterns(coll: Collocation, nx: int, nu: int):
     nq = nx // 2
     u_base = nodes * nx
     for s in range(S):
-        for k in range(1, order + 1):
+        for k in range(order + 1):
             node_k = int(seg_idx[s, k])
             for i in range(nx):
-                r = (s * order + (k - 1)) * nx + i
+                r = (s * (order + 1) + k) * nx + i
                 for j in range(order + 1):
                     E[r, int(seg_idx[s, j]) * nx + i] += D[k, j]
                 # -p * df/d(x,u): f_i = x_{i+nq} for i < nq else u_{i-nq}

@@ -182,6 +182,11 @@ def _sqp_solve_impl(
         qp_conv.append(qp.converged)
         alphas_log.append(alpha)
 
+    # Project the final iterate onto the variable box: ADMM satisfies the
+    # box only to its primal tolerance (~1e-3 * eps), while callers rely on
+    # the pinned node-0 state (lb = ub) holding exactly for hot restarts.
+    z = jnp.clip(z, lb_var, ub_var)
+
     return SQPResult(
         z=z,
         lam_c=lam_c,

@@ -137,6 +137,7 @@ class MotionPlanner:
         self.target_eps = target_eps
         self.time_bounds = time_bounds
         self._tool = self.model.frame(tool_frame)
+        self._min_height: Optional[float] = None  # None -> limits.min_height
 
     # ---------------- margin-scaled limits ----------------
 
@@ -160,6 +161,8 @@ class MotionPlanner:
 
     def ineq_bounds(self, min_height: Optional[float] = None):
         """Torque box + height (set_min_height, motionPlanner.cpp:92-100)."""
+        if min_height is None:
+            min_height = self._min_height
         h = self.limits.min_height if min_height is None else min_height
         t = self.margins.torque * self.limits.max_torque
         dt = t.dtype
@@ -222,6 +225,59 @@ class MotionPlanner:
 
         batched = traj.duration.ndim > 0
         return jax.vmap(one)(traj) if batched else one(traj)
+
+    def warm_start_from_trajectory(
+        self, final_time, position, velocity, acceleration
+    ):
+        """Warm-start vector from any regularly-time-spaced trajectory
+        (generic ``warm_start``, motionPlanner.hpp:145-172): picks the
+        nearest sample to each collocation node and packs p0 = final_time.
+
+        position/velocity/acceleration: (..., n_points, nq)."""
+        n_points = position.shape[-2]
+        t_nodes = self.ocp.coll.time_nodes
+        idx = jnp.round(t_nodes * (n_points - 1)).astype(jnp.int32)
+
+        def one(pos, vel, acc, tf):
+            X = jnp.concatenate([pos[idx], vel[idx]], axis=-1)
+            return self.ocp.pack(X, acc[idx], jnp.atleast_1d(tf))
+
+        if position.ndim > 2:
+            return jax.vmap(one)(position, velocity, acceleration,
+                                 jnp.asarray(final_time))
+        return one(position, velocity, acceleration, jnp.asarray(final_time))
+
+    def warm_start_point(self, traj: JerkLimitedTrajectory, t):
+        """Warm-start trajectory state at time t (seconds), with torque
+        (get_RK_point, motionPlanner.hpp:130-142)."""
+        q, v, a = traj.at_time(t)
+        if q.ndim > 1:
+            tau = jax.vmap(lambda a_, b_, c_: rnea.rnea(self.model, a_, b_, c_))(q, v, a)
+        else:
+            tau = rnea.rnea(self.model, q, v, a)
+        return q, v, a, tau
+
+    def solution_point(self, solution: "Solution", t):
+        """MPC trajectory state at time t (seconds), with torque
+        (get_MPC_point, motionPlanner.hpp:118-128): t is de-normalized by
+        the solved final time and clamped."""
+        t_norm = jnp.clip(
+            jnp.asarray(t, solution.z.dtype) / jnp.maximum(solution.final_time, 1e-9),
+            0.0,
+            1.0,
+        )
+        nq = self.ocp.nq
+        X, U, _ = solution.states()
+        x = jax.vmap(lambda Xb, tb: interpolate(self.ocp.coll, Xb, tb))(X, t_norm)
+        u = jax.vmap(lambda Ub, tb: interpolate(self.ocp.coll, Ub, tb))(U, t_norm)
+        q, v = x[..., :nq], x[..., nq:]
+        tau = jax.vmap(lambda a_, b_, c_: rnea.rnea(self.model, a_, b_, c_))(q, v, u)
+        return q, v, u, tau
+
+    def set_min_height(self, min_height: float):
+        """Persistently override the end-effector height floor
+        (set_min_height, motionPlanner.cpp:92-100)."""
+        self._min_height = min_height
 
     # ---------------- solve ----------------
 
@@ -322,7 +378,19 @@ class MotionPlanner:
             self.model, q, linear_velocity, angular_velocity, self._tool
         )
 
-    def inverse_kinematics(self, q0, rotation, translation, **kw):
+    def inverse_kinematics(self, rotation, translation, q0=None, key=None, **kw):
+        """Damped-LS IK to a tool pose (pandaWrapper.cpp:14-58). Like the
+        reference, the start configuration defaults to a random one
+        (pinocchio::randomConfiguration) — pass `key` for reproducibility."""
+        if q0 is None:
+            key = jax.random.PRNGKey(0) if key is None else key
+            q0 = jax.random.uniform(
+                key,
+                (self.ocp.nq,),
+                self.limits.min_position.dtype,
+                self.limits.min_position,
+                self.limits.max_position,
+            )
         return kinematics.inverse_kinematics(
             self.model, q0, rotation, translation, self._tool, **kw
         )

@@ -22,7 +22,8 @@ def _rand_z(ocp, seed=0, scale=1.0):
 
 def test_dimensions(ocp):
     assert ocp.num_var == 400
-    assert ocp.num_eq == 252
+    # Gauss–Lobatto: defects at all 4 local nodes of each of 6 segments
+    assert ocp.num_eq == 336
     assert ocp.num_ineq == 152
     assert ocp.num_nodes == 19
 
