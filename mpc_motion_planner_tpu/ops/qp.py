@@ -59,6 +59,22 @@ class QPSettings:
     # "pallas": fused VMEM-resident TPU kernel (fixed rho, float32) — the
     # matrices stay on-chip for the whole iteration loop.
     backend: str = dataclasses.field(default="xla", metadata={"static": True})
+    # Problems per Pallas kernel program: the G independent matvec chains
+    # are unrolled back-to-back so their MXU ops pipeline. Measured on the
+    # planner workload G=2 gains nothing over G=1 (the loop is MXU
+    # issue-bound, not latency-bound) and at "highest" precision G=2
+    # overflows the ~16 MB VMEM budget, so the default stays 1.
+    pallas_group: int = dataclasses.field(default=1, metadata={"static": True})
+    # MXU scheme for the fused kernel's in-loop matvecs: "highest" 6-pass
+    # f32 (default — the only scheme that converges at eps 1e-3 on the
+    # planner workload), "split3" manual bf16x3 (hi/lo split matrices,
+    # 3 one-pass dots; ~2.5x faster but its 2^-16 error floor is amplified
+    # by the rho_eq_scale-weighted dual updates into divergence — kept for
+    # experimentation), "default" 1-pass bf16 (does not converge). The KKT
+    # factorization always runs at highest precision regardless.
+    pallas_precision: str = dataclasses.field(
+        default="highest", metadata={"static": True}
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -108,8 +124,26 @@ def _solve_pallas(
     from .pallas import admm_kernel as pk
 
     B, m, n = As.shape
+    G = settings.pallas_group
+    # pad the batch to a multiple of the kernel group with done=1 dummies
+    Bp = -(-B // G) * G
+    bpad = Bp - B
+
     f32 = jnp.float32
     to32 = lambda a: a.astype(f32)
+
+    def bp_vec(v):  # (B, PAD) zero-padded batch rows
+        return jnp.pad(v, ((0, bpad), (0, 0))) if bpad else v
+
+    def bp_vec_ones(v):
+        if not bpad:
+            return v
+        return jnp.concatenate(
+            [v, jnp.ones((bpad, v.shape[1]), v.dtype)], axis=0
+        )
+
+    def bp_mat(M):
+        return jnp.pad(M, ((0, bpad), (0, 0), (0, 0))) if bpad else M
 
     if settings.rho_update_every > 0:
         chunk = settings.rho_update_every
@@ -118,32 +152,37 @@ def _solve_pallas(
     n_chunks = -(-settings.max_iter // chunk)
 
     base = {
-        "A": pk.pad_mat(to32(As)),
-        "P": pk.pad_vec(to32(Ps)),
-        "q": pk.pad_vec(to32(qs)),
-        "lc": pk.pad_vec(to32(lcs)),
-        "uc": pk.pad_vec(to32(ucs)),
-        "lx": pk.pad_vec(to32(lxs)),
-        "ux": pk.pad_vec(to32(uxs)),
-        "D": pk.pad_vec_ones(to32(D)),
-        "E": pk.pad_vec_ones(to32(E)),
+        "A": bp_mat(pk.pad_mat(to32(As))),
+        "P": bp_vec(pk.pad_vec(to32(Ps))),
+        "q": bp_vec(pk.pad_vec(to32(qs))),
+        "lc": bp_vec(pk.pad_vec(to32(lcs))),
+        "uc": bp_vec(pk.pad_vec(to32(ucs))),
+        "lx": bp_vec(pk.pad_vec(to32(lxs))),
+        "ux": bp_vec(pk.pad_vec(to32(uxs))),
+        "D": bp_vec_ones(pk.pad_vec_ones(to32(D))),
+        "E": bp_vec_ones(pk.pad_vec_ones(to32(E))),
     }
     rho_s = rho0
 
     def operands(rho_s, M_inv):
         ops = dict(base)
-        ops["M_inv"] = pk.pad_mat(to32(M_inv))
-        ops["rc"] = pk.pad_vec_ones(to32(rho_s[:, None] * pat_c))
-        ops["rx"] = pk.pad_vec_ones(to32(rho_s[:, None] * pat_x))
+        ops["M_inv"] = bp_mat(pk.pad_mat(to32(M_inv)))
+        ops["rc"] = bp_vec_ones(pk.pad_vec_ones(to32(rho_s[:, None] * pat_c)))
+        ops["rx"] = bp_vec_ones(pk.pad_vec_ones(to32(rho_s[:, None] * pat_x)))
         return ops
 
+    done0 = jnp.zeros((Bp, 1), jnp.int32)
+    if bpad:
+        done0 = done0.at[B:].set(1)
     state = {
-        "x": pk.pad_vec(to32(x)),
-        "zc": pk.pad_vec(to32(jnp.clip(jnp.einsum("bmn,bn->bm", As, x), lcs, ucs))),
-        "zx": pk.pad_vec(to32(jnp.clip(x, lxs, uxs))),
-        "yc": pk.pad_vec(to32(yc)),
-        "yx": pk.pad_vec(to32(yx)),
-        "done": jnp.zeros((B, 1, 1), jnp.int32),
+        "x": bp_vec(pk.pad_vec(to32(x))),
+        "zc": bp_vec(
+            pk.pad_vec(to32(jnp.clip(jnp.einsum("bmn,bn->bm", As, x), lcs, ucs)))
+        ),
+        "zx": bp_vec(pk.pad_vec(to32(jnp.clip(x, lxs, uxs)))),
+        "yc": bp_vec(pk.pad_vec(to32(yc))),
+        "yx": bp_vec(pk.pad_vec(to32(yx))),
+        "done": done0,
     }
 
     def residual_ratio(xs_, zcs_, zxs_, ycs_, yxs_):
@@ -170,28 +209,30 @@ def _solve_pallas(
         )
 
     M_inv = M_inv0
-    total_used = jnp.zeros(B, jnp.int32)
+    total_used = jnp.zeros(Bp, jnp.int32)
     for c in range(n_chunks):
         state, used = pk.admm_pallas_chunk(
             operands(rho_s, M_inv),
             state,
+            group=G,
             chunk_iters=min(chunk, settings.max_iter - c * chunk),
             check_every=settings.check_every,
             eps_abs=settings.eps_abs,
             eps_rel=settings.eps_rel,
             sigma=settings.sigma,
             alpha=settings.alpha,
+            mxu_precision=settings.pallas_precision,
         )
         total_used = total_used + used
         if c < n_chunks - 1 and settings.rho_update_every > 0:
-            done = state["done"][:, 0, 0] > 0
-            xs_ = state["x"][:, 0, :n].astype(dt)
+            done = state["done"][:B, 0] > 0
+            xs_ = state["x"][:B, :n].astype(dt)
             ratio = residual_ratio(
                 xs_,
-                state["zc"][:, 0, :m].astype(dt),
-                state["zx"][:, 0, :n].astype(dt),
-                state["yc"][:, 0, :m].astype(dt),
-                state["yx"][:, 0, :n].astype(dt),
+                state["zc"][:B, :m].astype(dt),
+                state["zx"][:B, :n].astype(dt),
+                state["yc"][:B, :m].astype(dt),
+                state["yx"][:B, :n].astype(dt),
             )
             want = ~done & ((ratio > 5.0) | (ratio < 0.2))
             rho_new = jnp.where(
@@ -204,14 +245,14 @@ def _solve_pallas(
             )
             rho_s = rho_new
 
-    done = state["done"][:, 0, 0] > 0
+    done = state["done"][:B, 0] > 0
     zb = jnp.zeros(B, dt)
     return QPSolution(
-        x=D * state["x"][:, 0, :n].astype(dt),
-        y_constraints=E * state["yc"][:, 0, :m].astype(dt),
-        y_box=state["yx"][:, 0, :n].astype(dt) / D,
+        x=D * state["x"][:B, :n].astype(dt),
+        y_constraints=E * state["yc"][:B, :m].astype(dt),
+        y_box=state["yx"][:B, :n].astype(dt) / D,
         converged=done,
-        iterations=total_used,
+        iterations=total_used[:B],
         prim_residual=zb,
         dual_residual=zb,
     )

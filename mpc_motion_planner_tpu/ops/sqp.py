@@ -44,6 +44,19 @@ class SQPSettings:
     eta: float = dataclasses.field(default=0.25, metadata={"static": True})
     # Gershgorin shift applied to the (zero) Lagrangian Hessian diagonal
     reg_eps: float = dataclasses.field(default=0.01, metadata={"static": True})
+    # l1 elastic relaxation of the height inequality rows: each node's
+    # height row gets a nonnegative slack with linear cost `slack_penalty`.
+    # Warm-start paths that dip the tool below the table otherwise make the
+    # linearized QP primal-infeasible (pinned boundary states + defect rows
+    # conflict with the height rows), the ADMM duals diverge and the SQP
+    # step is useless — a failure mode the reference shares. With an exact
+    # l1 penalty (mu larger than the height rows' optimal duals) the slacks
+    # are zero whenever the QP is feasible, so feasible solves are
+    # unchanged. 0 disables (reference behavior). Keep mu moderate: large
+    # penalties (>=100) wreck the ADMM scaling and blow up its iteration
+    # counts (measured: mu=10 cuts the worst-case violation 182 -> 1.4 with
+    # unchanged medians; mu=100 doubles median violation).
+    slack_penalty: float = dataclasses.field(default=10.0, metadata={"static": True})
 
 
 @jax.tree_util.register_dataclass
@@ -135,6 +148,7 @@ def _sqp_solve_impl(
 ) -> SQPResult:
     B = z0.shape[0]
     dt = z0.dtype
+    n = ocp.num_var
     m = ocp.num_eq + ocp.num_ineq
 
     z = z0
@@ -148,6 +162,18 @@ def _sqp_solve_impl(
     lb_g = jnp.broadcast_to(bounds.lb_ineq, (B, ocp.num_ineq))
     ub_g = jnp.broadcast_to(bounds.ub_ineq, (B, ocp.num_ineq))
 
+    # ---- elastic height rows: one slack column per node (see SQPSettings)
+    n_s = ocp.num_nodes if settings.slack_penalty > 0 else 0
+    if n_s:
+        ng = ocp.ng
+        h_rows = ocp.num_eq + (jnp.arange(n_s) + 1) * ng - 1  # height rows
+        S_cols = (
+            jnp.zeros((m, n_s), dt).at[h_rows, jnp.arange(n_s)].set(1.0)
+        )
+        S_cols = jnp.broadcast_to(S_cols, (B, m, n_s))
+        mu_s = jnp.asarray(settings.slack_penalty, dt)
+        inf = jnp.asarray(jnp.inf, dt)
+
     for _ in range(settings.max_iter):
         # ---- full relinearization at the current iterate ----
         c_eq = jax.vmap(ocp.eq_residual)(z)  # (B, num_eq)
@@ -156,27 +182,40 @@ def _sqp_solve_impl(
         h = jax.vmap(ocp.cost_gradient)(z)  # (B, n)
         P_diag = hessian_regularization_diag(ocp, (B,), dt, settings.reg_eps)
 
-        # ---- QP subproblem over the step d ----
+        # ---- QP subproblem over the step d (+ elastic slacks) ----
         lc = jnp.concatenate([-c_eq, lb_g - g], axis=-1)
         uc = jnp.concatenate([-c_eq, ub_g - g], axis=-1)
         lx = lb_var - z
         ux = ub_var - z
+        if n_s:
+            A_qp = jnp.concatenate([A, S_cols], axis=-1)
+            P_qp = jnp.concatenate(
+                [P_diag, jnp.full((B, n_s), settings.reg_eps, dt)], axis=-1
+            )
+            h_qp = jnp.concatenate([h, jnp.full((B, n_s), mu_s)], axis=-1)
+            lx_qp = jnp.concatenate([lx, jnp.zeros((B, n_s), dt)], axis=-1)
+            ux_qp = jnp.concatenate([ux, jnp.full((B, n_s), inf)], axis=-1)
+            yx0_qp = jnp.concatenate([lam_x, jnp.zeros((B, n_s), dt)], axis=-1)
+        else:
+            A_qp, P_qp, h_qp, lx_qp, ux_qp, yx0_qp = A, P_diag, h, lx, ux, lam_x
         qp: QPSolution = solve_box_qp(
-            P_diag, h, A, lc, uc, lx, ux, qp_settings, yc0=lam_c, yx0=lam_x
+            P_qp, h_qp, A_qp, lc, uc, lx_qp, ux_qp, qp_settings,
+            yc0=lam_c, yx0=yx0_qp,
         )
-        d = qp.x
+        d = qp.x[:, :n]
+        y_box = qp.y_box[:, :n]
 
         # ---- merit line search ----
         mu = jnp.maximum(
             jnp.max(jnp.abs(qp.y_constraints), axis=-1),
-            jnp.max(jnp.abs(qp.y_box), axis=-1),
+            jnp.max(jnp.abs(y_box), axis=-1),
         )
         alpha = _line_search(ocp, bounds, z, d, h, mu, settings)
 
         # ---- primal/dual update ----
         z = z + alpha[:, None] * d
         lam_c = lam_c + alpha[:, None] * (qp.y_constraints - lam_c)
-        lam_x = lam_x + alpha[:, None] * (qp.y_box - lam_x)
+        lam_x = lam_x + alpha[:, None] * (y_box - lam_x)
 
         qp_iters.append(qp.iterations)
         qp_conv.append(qp.converged)

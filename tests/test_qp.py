@@ -133,3 +133,44 @@ def test_infeasible_hits_iteration_cap():
     sol = solve_box_qp(P, q, A, lc, uc, lx, ux, QPSettings(max_iter=200))
     assert not bool(sol.converged[0])
     assert int(sol.iterations[0]) == 200
+
+
+@pytest.mark.parametrize("group", [1, 2, 3])
+@pytest.mark.parametrize("precision", ["highest", "split3"])
+def test_pallas_backend_matches_xla(group, precision):
+    """The fused-kernel backend (interpret mode off-TPU) must agree with the
+    XLA path for every kernel group size; B=5 with G=2/3 also exercises the
+    done=1 batch padding. The bf16x3 split scheme carries an ~1e-4-relative
+    matvec error floor, so it gets a proportionally looser tolerance (the
+    planner's equilibrated QPs sit well above that floor)."""
+    rng = np.random.default_rng(0)
+    B, n, m = 5, 24, 18
+    P = rng.uniform(0.1, 1.0, (B, n))
+    q = rng.standard_normal((B, n))
+    A = rng.standard_normal((B, m, n))
+    lc = rng.uniform(-2, -0.5, (B, m))
+    uc = rng.uniform(0.5, 2, (B, m))
+    lc[:, :4] = uc[:, :4] = 0.3  # equality rows
+    lx, ux = np.full((B, n), -3.0), np.full((B, n), 3.0)
+    args = (P, q, A, lc, uc, lx, ux)
+
+    ref = solve_box_qp(
+        *map(jnp.asarray, args), QPSettings(backend="xla", max_iter=2000)
+    )
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    eps = 1e-3 if precision == "highest" else 4e-3
+    sol = solve_box_qp(
+        *map(f32, args),
+        QPSettings(
+            backend="pallas",
+            pallas_group=group,
+            pallas_precision=precision,
+            max_iter=2000,
+            eps_abs=eps,
+            eps_rel=eps,
+        ),
+    )
+    assert bool(jnp.all(sol.converged))
+    np.testing.assert_allclose(
+        np.asarray(sol.x), np.asarray(ref.x), atol=6e-2 if precision == "split3" else 5e-3
+    )
