@@ -101,7 +101,7 @@ def _admm_kernel(
     mxu_precision: str,
 ):
     G = group
-    split = mxu_precision == "split3"
+    split = mxu_precision in ("split3", "split4")
     n_mats = 4 if split else 2
     mat_refs = refs[:n_mats]
     (
@@ -120,7 +120,7 @@ def _admm_kernel(
 
     prec = (
         jax.lax.Precision.DEFAULT
-        if mxu_precision in ("default", "split3")
+        if mxu_precision in ("default", "split3", "split4")
         else jax.lax.Precision.HIGHEST
     )
 
@@ -144,9 +144,14 @@ def _admm_kernel(
             hi, lo = M
             vh = v.astype(bf16)
             vl = (v - vh.astype(f32)).astype(bf16)
-            return (
-                dot_dim(vh, hi, dim) + dot_dim(vl, hi, dim) + dot_dim(vh, lo, dim)
-            )
+            acc = dot_dim(vh, hi, dim) + dot_dim(vl, hi, dim) + dot_dim(vh, lo, dim)
+            if mxu_precision == "split4":
+                # bf16x4: keep the lo x lo term too — error floor drops from
+                # ~2^-16 (which the rho_eq_scale-weighted duals amplify into
+                # divergence) to ~2^-24, i.e. f32-like, at 4 one-pass dots
+                # vs HIGHEST's 6 passes.
+                acc = acc + dot_dim(vl, lo, dim)
+            return acc
         return dot_dim(v, M, dim)
 
     def residual_check(g, x, zc, zx, yc, yx):
@@ -303,7 +308,7 @@ def admm_pallas_chunk(
     G = group
     assert B % G == 0, (B, G)
     nb = B // G
-    split = mxu_precision == "split3"
+    split = mxu_precision in ("split3", "split4")
 
     kernel = functools.partial(
         _admm_kernel,

@@ -66,15 +66,22 @@ class QPSettings:
     # overflows the ~16 MB VMEM budget, so the default stays 1.
     pallas_group: int = dataclasses.field(default=1, metadata={"static": True})
     # MXU scheme for the fused kernel's in-loop matvecs: "highest" 6-pass
-    # f32 (default — the only scheme that converges at eps 1e-3 on the
-    # planner workload), "split3" manual bf16x3 (hi/lo split matrices,
-    # 3 one-pass dots; ~2.5x faster but its 2^-16 error floor is amplified
-    # by the rho_eq_scale-weighted dual updates into divergence — kept for
-    # experimentation), "default" 1-pass bf16 (does not converge). The KKT
-    # factorization always runs at highest precision regardless.
+    # f32, "split4" manual bf16x4 (hi/lo split matrices, 4 one-pass dots,
+    # ~2^-24 error floor — f32-like quality at ~1.5x fewer MXU passes than
+    # HIGHEST and half the VMEM), "split3" bf16x3 (3 dots; ~2.5x faster but
+    # its 2^-16 error floor is amplified by the rho_eq_scale-weighted dual
+    # updates into divergence — kept for experimentation), "default" 1-pass
+    # bf16 (does not converge). The KKT factorization always runs at
+    # highest precision regardless.
     pallas_precision: str = dataclasses.field(
         default="highest", metadata={"static": True}
     )
+    # KKT factorization scheme for the explicit M^-1: "lu" (jnp.linalg.inv)
+    # or "cholesky" (M is SPD by construction: diag(P) + sigma I + rho_x I
+    # + A^T diag(rho_c) A with all weights > 0) — Cholesky + two triangular
+    # solves + a GEMM, which keeps more of the work on the MXU than LU's
+    # pivoted panel factorization.
+    kkt_factor: str = dataclasses.field(default="lu", metadata={"static": True})
 
 
 @jax.tree_util.register_dataclass
@@ -320,6 +327,13 @@ def _solve_box_qp_impl(
         rx = rho_s[:, None] * pat_x
         M = jnp.einsum("bmi,bm,bmj->bij", As, rc, As)
         M = M + jax.vmap(jnp.diag)(Ps + sigma + rx)
+        if settings.kkt_factor == "cholesky":
+            L = jnp.linalg.cholesky(M)
+            eye = jnp.broadcast_to(jnp.eye(n, dtype=dt), M.shape)
+            Linv = jax.lax.linalg.triangular_solve(
+                L, eye, left_side=True, lower=True
+            )
+            return jnp.einsum("bki,bkj->bij", Linv, Linv)
         return jnp.linalg.inv(M)
 
     M_inv0 = factor(rho0)

@@ -136,13 +136,14 @@ def test_infeasible_hits_iteration_cap():
 
 
 @pytest.mark.parametrize("group", [1, 2, 3])
-@pytest.mark.parametrize("precision", ["highest", "split3"])
+@pytest.mark.parametrize("precision", ["highest", "split3", "split4"])
 def test_pallas_backend_matches_xla(group, precision):
     """The fused-kernel backend (interpret mode off-TPU) must agree with the
     XLA path for every kernel group size; B=5 with G=2/3 also exercises the
     done=1 batch padding. The bf16x3 split scheme carries an ~1e-4-relative
     matvec error floor, so it gets a proportionally looser tolerance (the
-    planner's equilibrated QPs sit well above that floor)."""
+    planner's equilibrated QPs sit well above that floor); bf16x4's ~2^-24
+    floor is f32-like and gets the tight tolerance."""
     rng = np.random.default_rng(0)
     B, n, m = 5, 24, 18
     P = rng.uniform(0.1, 1.0, (B, n))
@@ -174,3 +175,29 @@ def test_pallas_backend_matches_xla(group, precision):
     np.testing.assert_allclose(
         np.asarray(sol.x), np.asarray(ref.x), atol=6e-2 if precision == "split3" else 5e-3
     )
+
+
+def test_cholesky_factor_matches_lu():
+    """kkt_factor="cholesky" must reproduce the LU-inverse path (M is SPD
+    by construction), across both XLA and pallas backends."""
+    rng = np.random.default_rng(7)
+    B, n, m = 4, 16, 12
+    P = rng.uniform(0.1, 1.0, (B, n))
+    q = rng.standard_normal((B, n))
+    A = rng.standard_normal((B, m, n))
+    lc = rng.uniform(-2, -0.5, (B, m))
+    uc = rng.uniform(0.5, 2, (B, m))
+    lc[:, :3] = uc[:, :3] = 0.1
+    lx, ux = np.full((B, n), -3.0), np.full((B, n), 3.0)
+    args = tuple(map(jnp.asarray, (P, q, A, lc, uc, lx, ux)))
+
+    ref = solve_box_qp(*args, QPSettings(max_iter=2000))
+    for backend in ("xla", "pallas"):
+        sol = solve_box_qp(
+            *args,
+            QPSettings(backend=backend, max_iter=2000, kkt_factor="cholesky"),
+        )
+        assert bool(jnp.all(sol.converged)), backend
+        np.testing.assert_allclose(
+            np.asarray(sol.x), np.asarray(ref.x), atol=5e-3
+        )
