@@ -42,25 +42,55 @@ def main():
     backend = os.environ.get("BENCH_QP_BACKEND", "pallas")
     if jax.default_backend() == "cpu":
         backend = "xla"  # the fused kernel is TPU-only
-    planner = MotionPlanner(
-        margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1),
-        qp_settings=QPSettings(backend=backend),
-    )
+    # The fused kernel's VMEM-resident chunks are dispatched per solve-chunk:
+    # solving the full batch as fixed-size slices keeps each pallas_call's
+    # grid small (device-fault guard) and pipelines compile reuse.
+    chunk = int(os.environ.get("BENCH_CHUNK", "32" if backend == "pallas" else "0"))
 
-    @jax.jit
-    def run(cur, tgt):
-        sol = planner.solve(cur, tgt)
-        X, _, _ = sol.states()
-        err = jnp.max(jnp.abs(X[:, -1] - tgt), axis=-1)
-        return sol.z, sol.violation, err
+    def make_run(backend):
+        planner = MotionPlanner(
+            margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1),
+            qp_settings=QPSettings(backend=backend),
+        )
 
+        @jax.jit
+        def run_one(cur, tgt):
+            sol = planner.solve(cur, tgt)
+            X, _, _ = sol.states()
+            err = jnp.max(jnp.abs(X[:, -1] - tgt), axis=-1)
+            return sol.z, sol.violation, err
+
+        if chunk and backend == "pallas":
+            def run(cur, tgt):
+                outs = [
+                    run_one(cur[i : i + chunk], tgt[i : i + chunk])
+                    for i in range(0, cur.shape[0], chunk)
+                ]
+                return tuple(jnp.concatenate(parts) for parts in zip(*outs))
+        else:
+            run = run_one
+        return planner, run
+
+    planner, run = make_run(backend)
     key = jax.random.PRNGKey(0)
     current, target = chain_states(planner, key, batch)
     current = jax.device_put(current)
     target = jax.device_put(target)
 
-    # compile + warm up
-    out = jax.block_until_ready(run(current, target))
+    # compile + warm up; if the fused-kernel path hits a device fault
+    # (axon tunnel flakiness), fall back to the portable XLA path rather
+    # than failing the benchmark run.
+    try:
+        out = jax.block_until_ready(run(current, target))
+    except Exception as e:  # noqa: BLE001 - jax runtime errors vary by backend
+        if backend == "pallas":
+            print(f"# pallas backend failed ({type(e).__name__}); falling back to xla",
+                  file=sys.stderr)
+            backend = "xla"
+            planner, run = make_run(backend)
+            out = jax.block_until_ready(run(current, target))
+        else:
+            raise
 
     times = []
     for _ in range(repeats):
@@ -83,6 +113,7 @@ def main():
         "p50_latency_ms": round(1e3 * best / batch, 4),
         "tol_hit_rate": round(float(ok.mean()), 4),
         "median_violation": float(np.median(np.asarray(violation))),
+        "qp_backend": backend,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

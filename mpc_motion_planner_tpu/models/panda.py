@@ -127,9 +127,9 @@ def make_panda_model(gravity=(0.0, 0.0, -9.81), dtype=None) -> RobotModel:
         gravity=np.asarray(gravity, dtype=np.float64),
         frames=frames,
     )
-    if dtype is not None:
-        model = model.astype(dtype)
-    return model
+    # Default to jax's canonical float (f64 under x64, f32 otherwise) so
+    # downstream dtype propagation never requests an unavailable dtype.
+    return model.astype(dtype if dtype is not None else jnp.asarray(0.0).dtype)
 
 
 @jax.tree_util.register_dataclass
@@ -174,6 +174,4 @@ def make_panda_limits(dtype=None) -> PandaLimits:
         max_angular_velocity=2.5,
         min_height=0.05,
     )
-    if dtype is not None:
-        limits = limits.astype(dtype)
-    return limits
+    return limits.astype(dtype if dtype is not None else jnp.asarray(0.0).dtype)
