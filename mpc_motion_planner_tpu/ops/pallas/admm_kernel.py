@@ -99,6 +99,7 @@ def _admm_kernel(
     sigma: float,
     alpha: float,
     mxu_precision: str,
+    kkt_refine: int,
 ):
     G = group
     split = mxu_precision in ("split3", "split4")
@@ -185,8 +186,9 @@ def _admm_kernel(
     def cond(state):
         _, _, _, _, _, done, k, _ = state
         # done is an int32 (G, 1) array — Mosaic needs >=2-D layouts and
-        # can't extract bool scalars
-        return jnp.logical_and(k < chunk_iters, jnp.sum(done) < G)
+        # can't extract bool scalars. Codes: 0 running, 1 converged,
+        # 2 diverged-frozen.
+        return jnp.logical_and(k < chunk_iters, jnp.sum(done != 0) < G)
 
     def body(state):
         x, zc, zx, yc, yx, done, k, used = state
@@ -203,21 +205,45 @@ def _admm_kernel(
         ztc_rows = []
         for g in range(G):
             A = mat(1, g)
+            Mi = mat(0, g)
             r = rhs[g : g + 1] + matvec(A, u[g : g + 1], 0)
-            xt_g = matvec(mat(0, g), r, 1)  # M_inv symmetric
+            xt_g = matvec(Mi, r, 1)  # M_inv symmetric
+            Ax_g = matvec(A, xt_g, 1)
+            for _ in range(kkt_refine):
+                # one step of iterative refinement on M xt = r, with M
+                # applied in factored form (M = diag(P + sigma + rx)
+                # + A^T diag(rc) A, all resident): recovers f64-like ADMM
+                # convergence from the f32 explicit inverse (see QPSettings
+                # .kkt_refine) at the cost of 3 extra matvecs.
+                r2 = (
+                    r
+                    - (P[g : g + 1] + sigma + rx[g : g + 1]) * xt_g
+                    - matvec(A, rc[g : g + 1] * Ax_g, 0)
+                )
+                xt_g = xt_g + matvec(Mi, r2, 1)
+                Ax_g = matvec(A, xt_g, 1)
             xt_rows.append(xt_g)
-            ztc_rows.append(matvec(A, xt_g, 1))
+            ztc_rows.append(Ax_g)
         xt = jnp.concatenate(xt_rows, axis=0)  # (G, PAD)
         zt_c = jnp.concatenate(ztc_rows, axis=0)
 
         # ---- elementwise updates, vectorized over the whole group ----
-        x_new = alpha * xt + (1.0 - alpha) * x
+        # ftz: TPU special-value handling (denormals etc.) runs elementwise
+        # and MXU ops through a microcoded slow path — measured 100x+
+        # wall-time blowups once near-zero/huge values accumulate in the
+        # state, long enough to trip the device watchdog on big grids.
+        # Flushing the denormal range to exact zero every iteration keeps
+        # all matvec inputs on the fast path for negligible VPU cost.
+        ftz = lambda v: jnp.where(jnp.abs(v) < 1e-30, 0.0, v)
+        x_new = ftz(alpha * xt + (1.0 - alpha) * x)
         zc_arg = alpha * zt_c + (1.0 - alpha) * zc
         zc_new = jnp.clip(zc_arg + yc / rc, lc, uc)
-        yc_new = yc + rc * (zc_arg - zc_new)
+        yc_new = ftz(yc + rc * (zc_arg - zc_new))
         zx_arg = alpha * xt + (1.0 - alpha) * zx
         zx_new = jnp.clip(zx_arg + yx / rx, lx, ux)
-        yx_new = yx + rx * (zx_arg - zx_new)
+        yx_new = ftz(yx + rx * (zx_arg - zx_new))
+        zc_new = ftz(zc_new)
+        zx_new = ftz(zx_new)
 
         keep = done > 0  # (G, 1) broadcasts over (G, PAD)
         x = jnp.where(keep, x, x_new)
@@ -231,15 +257,28 @@ def _admm_kernel(
         do_check = jnp.logical_or(k % check_every == 0, k >= chunk_iters)
 
         def run_checks(_):
+            # huge iterates mean ADMM divergence: freeze the problem with
+            # code 2 (reported unconverged) before inf/nan reach the MXU
+            # and hit the special-value slow path. (G, 1) layout — Mosaic
+            # can't extract bool scalars.
+            big = (
+                jnp.max(jnp.abs(x) + jnp.abs(yc) + jnp.abs(yx), axis=1,
+                        keepdims=True)
+                > 1e12
+            )
             convs = []
             for g in range(G):
                 convs.append(
                     jax.lax.cond(
                         done[g, 0] > 0,
-                        lambda _: jnp.ones((1, 1), jnp.int32),
-                        lambda _, g=g: residual_check(
-                            g, x, zc, zx, yc, yx
-                        ).astype(jnp.int32)[None, None],
+                        lambda _, g=g: done[g : g + 1, :],
+                        lambda _, g=g: jnp.where(
+                            big[g : g + 1, :],
+                            jnp.full((1, 1), 2, jnp.int32),
+                            residual_check(g, x, zc, zx, yc, yx).astype(
+                                jnp.int32
+                            )[None, None],
+                        ),
                         operand=None,
                     )
                 )
@@ -280,6 +319,7 @@ def _admm_kernel(
         "sigma",
         "alpha",
         "mxu_precision",
+        "kkt_refine",
     ),
 )
 def admm_pallas_chunk(
@@ -294,6 +334,7 @@ def admm_pallas_chunk(
     sigma: float,
     alpha: float,
     mxu_precision: str = "split3",
+    kkt_refine: int = 0,
 ):
     """Run one fused chunk of ADMM iterations.
 
@@ -320,6 +361,7 @@ def admm_pallas_chunk(
         sigma=sigma,
         alpha=alpha,
         mxu_precision=mxu_precision,
+        kkt_refine=kkt_refine,
     )
 
     # matrices: (B, PAD, PAD) -> (nb, G*PAD, PAD); vectors: (B, PAD) -> (nb, G, PAD)

@@ -42,6 +42,13 @@ class QPSettings:
     eps_abs: float = dataclasses.field(default=1e-3, metadata={"static": True})
     eps_rel: float = dataclasses.field(default=1e-3, metadata={"static": True})
     rho: float = dataclasses.field(default=0.1, metadata={"static": True})
+    # Equality-row rho multiplier (OSQP convention 1e3). The stiff scaling
+    # amplifies f32 KKT-inverse rounding into ADMM stalls (f32: 23% of the
+    # chained-benchmark QPs converge in 700 iters; f64: 78% in ~300) —
+    # lowering it helps f32 convergence but degrades the feasible-case
+    # defect residual (easy-solve violation 0.05 -> 1.5 at eq=30). The fix
+    # is kkt_refine=1, which restores f64-like convergence at f32 while
+    # keeping the tight equality weighting.
     rho_eq_scale: float = dataclasses.field(default=1e3, metadata={"static": True})
     sigma: float = dataclasses.field(default=1e-6, metadata={"static": True})
     alpha: float = dataclasses.field(default=1.6, metadata={"static": True})
@@ -82,6 +89,14 @@ class QPSettings:
     # solves + a GEMM, which keeps more of the work on the MXU than LU's
     # pivoted panel factorization.
     kkt_factor: str = dataclasses.field(default="lu", metadata={"static": True})
+    # Iterative-refinement steps on each x-update's KKT solve:
+    # xt += M^-1 (rhs - M xt), with M xt applied in factored form
+    # ((P + sigma + rho_x) xt + A^T (rho_c (A xt))) so only A is needed.
+    # At f32 the explicit inverse carries cond(M)-amplified rounding that
+    # stalls ADMM on stiff equality scalings (measured: f32 eq=1e3
+    # converges 3-25% of chain QPs vs 78% at f64); one refinement step
+    # recovers f64-like convergence for ~2x per-iteration matvec cost.
+    kkt_refine: int = dataclasses.field(default=0, metadata={"static": True})
 
 
 @jax.tree_util.register_dataclass
@@ -158,14 +173,22 @@ def _solve_pallas(
         chunk = settings.max_iter
     n_chunks = -(-settings.max_iter // chunk)
 
+    # Never let +-inf into VMEM: TPU special-value handling runs the
+    # kernel's elementwise ops through a microcoded slow path (measured
+    # ~200x wall-time blowup for the same iteration count once inf bounds
+    # are resident, long enough to trip the device watchdog and crash the
+    # TPU worker at grid sizes >= 64). A big finite stand-in behaves
+    # identically for the box projection: no iterate ever approaches 1e20.
+    BIG = jnp.float32(1e20)
+    finite = lambda v: jnp.clip(to32(v), -BIG, BIG)
     base = {
         "A": bp_mat(pk.pad_mat(to32(As))),
         "P": bp_vec(pk.pad_vec(to32(Ps))),
         "q": bp_vec(pk.pad_vec(to32(qs))),
-        "lc": bp_vec(pk.pad_vec(to32(lcs))),
-        "uc": bp_vec(pk.pad_vec(to32(ucs))),
-        "lx": bp_vec(pk.pad_vec(to32(lxs))),
-        "ux": bp_vec(pk.pad_vec(to32(uxs))),
+        "lc": bp_vec(pk.pad_vec(finite(lcs))),
+        "uc": bp_vec(pk.pad_vec(finite(ucs))),
+        "lx": bp_vec(pk.pad_vec(finite(lxs))),
+        "ux": bp_vec(pk.pad_vec(finite(uxs))),
         "D": bp_vec_ones(pk.pad_vec_ones(to32(D))),
         "E": bp_vec_ones(pk.pad_vec_ones(to32(E))),
     }
@@ -229,6 +252,7 @@ def _solve_pallas(
             sigma=settings.sigma,
             alpha=settings.alpha,
             mxu_precision=settings.pallas_precision,
+            kkt_refine=settings.kkt_refine,
         )
         total_used = total_used + used
         if c < n_chunks - 1 and settings.rho_update_every > 0:
@@ -252,7 +276,8 @@ def _solve_pallas(
             )
             rho_s = rho_new
 
-    done = state["done"][:B, 0] > 0
+    # done codes: 1 converged, 2 diverged-frozen (reported unconverged)
+    done = state["done"][:B, 0] == 1
     zb = jnp.zeros(B, dt)
     return QPSolution(
         x=D * state["x"][:B, :n].astype(dt),
@@ -398,6 +423,11 @@ def _solve_box_qp_impl(
             + (rx * zx - yx)
         )
         xt = jnp.einsum("bij,bj->bi", M_inv, rhs)
+        for _ in range(settings.kkt_refine):
+            Mxt = (Ps + sigma + rx) * xt + jnp.einsum(
+                "bmn,bm->bn", As, rc * jnp.einsum("bmn,bn->bm", As, xt)
+            )
+            xt = xt + jnp.einsum("bij,bj->bi", M_inv, rhs - Mxt)
         zt_c = jnp.einsum("bmn,bn->bm", As, xt)
 
         x_new = alpha * xt + (1.0 - alpha) * x
