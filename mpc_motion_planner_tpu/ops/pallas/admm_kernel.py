@@ -233,8 +233,14 @@ def _admm_kernel(
         # wall-time blowups once near-zero/huge values accumulate in the
         # state, long enough to trip the device watchdog on big grids.
         # Flushing the denormal range to exact zero every iteration keeps
-        # all matvec inputs on the fast path for negligible VPU cost.
-        ftz = lambda v: jnp.where(jnp.abs(v) < 1e-30, 0.0, v)
+        # all matvec inputs on the fast path for negligible VPU cost; the
+        # symmetric clamp at 1e15 keeps diverging problems finite until the
+        # next residual check freezes them (inf/nan would otherwise appear
+        # within ~25 iterations of exponential blow-up and drag the whole
+        # group onto the special-value slow path).
+        ftz = lambda v: jnp.clip(
+            jnp.where(jnp.abs(v) < 1e-30, 0.0, v), -1e15, 1e15
+        )
         x_new = ftz(alpha * xt + (1.0 - alpha) * x)
         zc_arg = alpha * zt_c + (1.0 - alpha) * zc
         zc_new = jnp.clip(zc_arg + yc / rc, lc, uc)
@@ -261,10 +267,12 @@ def _admm_kernel(
             # code 2 (reported unconverged) before inf/nan reach the MXU
             # and hit the special-value slow path. (G, 1) layout — Mosaic
             # can't extract bool scalars.
-            big = (
+            # NaN-safe: ~(max <= thr) is True for NaN too, so a state that
+            # blew past inf/nan between checks still freezes
+            big = ~(
                 jnp.max(jnp.abs(x) + jnp.abs(yc) + jnp.abs(yx), axis=1,
                         keepdims=True)
-                > 1e12
+                <= 1e12
             )
             convs = []
             for g in range(G):
