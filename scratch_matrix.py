@@ -13,11 +13,14 @@ from mpc_motion_planner_tpu.bench.harness import chain_states
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 prec = sys.argv[2] if len(sys.argv) > 2 else "highest"
 refine = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+rho_every = int(sys.argv[4]) if len(sys.argv) > 4 else 100
+group = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
 planner = MotionPlanner(
     margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1),
     qp_settings=QPSettings(
-        backend="pallas", pallas_precision=prec, kkt_refine=refine
+        backend="pallas", pallas_precision=prec, kkt_refine=refine,
+        rho_update_every=rho_every, pallas_group=group,
     ),
 )
 cur, tgt = chain_states(planner, jax.random.PRNGKey(0), B)
