@@ -398,7 +398,10 @@ def admm_pallas_chunk(
         out_specs=(vec_spec,) * 5 + (scalar_spec, scalar_spec),
         out_shape=(vec_shape,) * 5 + (scalar_shape, scalar_shape),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(15.5 * 1024 * 1024),
+            # IR (kkt_refine) lengthens the per-problem dot chain and its
+            # live Mosaic scratch past the 16 MiB default scoped budget at
+            # large grids; v5e has headroom above that, so ask for more.
+            vmem_limit_bytes=int(30 * 1024 * 1024),
         ),
         # off-TPU (tests), run the kernel in interpret mode so the pallas
         # backend stays covered by the CPU suite
