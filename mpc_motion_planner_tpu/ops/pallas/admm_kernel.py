@@ -241,15 +241,17 @@ def _admm_kernel(
         ftz = lambda v: jnp.clip(
             jnp.where(jnp.abs(v) < 1e-30, 0.0, v), -1e15, 1e15
         )
+        # ftz the projected z BEFORE the dual update so the stored z and
+        # the dual step never disagree above the 1e15 clamp (they only
+        # could when a bound is the 1e20 inf stand-in, i.e. on already-
+        # diverging problems, but consistency keeps the invariant local).
         x_new = ftz(alpha * xt + (1.0 - alpha) * x)
         zc_arg = alpha * zt_c + (1.0 - alpha) * zc
-        zc_new = jnp.clip(zc_arg + yc / rc, lc, uc)
+        zc_new = ftz(jnp.clip(zc_arg + yc / rc, lc, uc))
         yc_new = ftz(yc + rc * (zc_arg - zc_new))
         zx_arg = alpha * xt + (1.0 - alpha) * zx
-        zx_new = jnp.clip(zx_arg + yx / rx, lx, ux)
+        zx_new = ftz(jnp.clip(zx_arg + yx / rx, lx, ux))
         yx_new = ftz(yx + rx * (zx_arg - zx_new))
-        zc_new = ftz(zc_new)
-        zx_new = ftz(zx_new)
 
         keep = done > 0  # (G, 1) broadcasts over (G, PAD)
         x = jnp.where(keep, x, x_new)

@@ -72,13 +72,16 @@ class QPSettings:
     # issue-bound, not latency-bound) and at "highest" precision G=2
     # overflows the ~16 MB VMEM budget, so the default stays 1.
     pallas_group: int = dataclasses.field(default=1, metadata={"static": True})
-    # MXU scheme for the fused kernel's in-loop matvecs: "highest" 6-pass
-    # f32, "split4" manual bf16x4 (hi/lo split matrices, 4 one-pass dots,
-    # ~2^-24 error floor — f32-like quality at ~1.5x fewer MXU passes than
-    # HIGHEST and half the VMEM), "split3" bf16x3 (3 dots; ~2.5x faster but
-    # its 2^-16 error floor is amplified by the rho_eq_scale-weighted dual
-    # updates into divergence — kept for experimentation), "default" 1-pass
-    # bf16 (does not converge). The KKT factorization always runs at
+    # MXU scheme for the fused kernel's in-loop matvecs: "highest" (6-pass
+    # f32) is the only scheme validated on the production workload. The
+    # manual bf16-split schemes are EXPERIMENTAL: both "split3" (bf16x3)
+    # and "split4" (bf16x4) pass the small interpret-mode parity tests but
+    # DIVERGE (NaN) on the real planner workload on TPU (see CLAUDE.md) —
+    # the rho_eq_scale-weighted dual updates amplify the lo-split's bf16
+    # rounding (~2^-16 residual even for split4) past what ADMM tolerates.
+    # "split3" is hard-gated (raises; set MPC_TPU_ALLOW_SPLIT3=1 to
+    # experiment); do not enable either in production. "default" (1-pass
+    # bf16) does not converge at all. The KKT factorization always runs at
     # highest precision regardless.
     pallas_precision: str = dataclasses.field(
         default="highest", metadata={"static": True}
@@ -106,7 +109,12 @@ class QPSolution:
     y_constraints: jax.Array  # (B, m) duals of the A-rows
     y_box: jax.Array  # (B, n) duals of the variable box
     converged: jax.Array  # (B,) bool
-    iterations: jax.Array  # (B,) int32 iteration of convergence (or cap)
+    # Iteration of convergence, or the cap for unconverged problems — with
+    # one backend nuance: the pallas path freezes diverging problems early
+    # (done=2, reported unconverged) and stops counting at the freeze
+    # point, so a diverged problem reports its freeze iteration instead of
+    # max_iter. Converged problems agree across backends.
+    iterations: jax.Array  # (B,) int32
     prim_residual: jax.Array  # (B,)
     dual_residual: jax.Array  # (B,)
 
@@ -314,6 +322,17 @@ def solve_box_qp(
     B, m, n = A.shape
     dt = q.dtype
 
+    if settings.backend == "pallas" and settings.pallas_precision == "split3":
+        import os as _os
+
+        if not _os.environ.get("MPC_TPU_ALLOW_SPLIT3"):
+            raise ValueError(
+                "pallas_precision='split3' diverges (NaN) on the real "
+                "planner workload on TPU despite passing interpret-mode "
+                "parity tests; it is hard-gated. Set MPC_TPU_ALLOW_SPLIT3=1 "
+                "to experiment anyway."
+            )
+
     # TPU matmuls default to bf16 passes, which destroys ADMM convergence
     # (KKT inverse + iteration matvecs need full f32). Force full precision
     # for everything traced inside the solver.
@@ -358,7 +377,20 @@ def _solve_box_qp_impl(
             Linv = jax.lax.linalg.triangular_solve(
                 L, eye, left_side=True, lower=True
             )
-            return jnp.einsum("bki,bkj->bij", Linv, Linv)
+            M_chol = jnp.einsum("bki,bkj->bij", Linv, Linv)
+            # f32 breakdown guard: at rho_eq_scale=1e3 cond(M) can exceed
+            # what Cholesky tolerates in f32 and jnp.linalg.cholesky
+            # silently returns NaN — which the pallas path would carry
+            # straight into VMEM (the special-value slow-path hazard).
+            # Fall back to the LU inverse for those problems (cond keeps
+            # the LU cost off the common all-finite path).
+            bad = ~jnp.all(jnp.isfinite(M_chol), axis=(1, 2), keepdims=True)
+            return jax.lax.cond(
+                jnp.any(bad),
+                lambda _: jnp.where(bad, jnp.linalg.inv(M), M_chol),
+                lambda _: M_chol,
+                None,
+            )
         return jnp.linalg.inv(M)
 
     M_inv0 = factor(rho0)

@@ -135,15 +135,31 @@ def test_infeasible_hits_iteration_cap():
     assert int(sol.iterations[0]) == 200
 
 
+def test_split3_is_hard_gated(monkeypatch):
+    """split3 diverges on real TPU workloads (CLAUDE.md): enabling it must
+    raise unless the experiment escape hatch is set."""
+    monkeypatch.delenv("MPC_TPU_ALLOW_SPLIT3", raising=False)
+    P = jnp.ones((1, 4))
+    q = jnp.zeros((1, 4))
+    A = jnp.ones((1, 2, 4))
+    lc = uc = jnp.zeros((1, 2))
+    lx, ux = -jnp.ones((1, 4)), jnp.ones((1, 4))
+    with pytest.raises(ValueError, match="split3"):
+        solve_box_qp(
+            P, q, A, lc, uc, lx, ux,
+            QPSettings(backend="pallas", pallas_precision="split3"),
+        )
+
+
 @pytest.mark.parametrize("group", [1, 2, 3])
-@pytest.mark.parametrize("precision", ["highest", "split3", "split4"])
+@pytest.mark.parametrize("precision", ["highest", "split4"])
 def test_pallas_backend_matches_xla(group, precision):
     """The fused-kernel backend (interpret mode off-TPU) must agree with the
     XLA path for every kernel group size; B=5 with G=2/3 also exercises the
-    done=1 batch padding. The bf16x3 split scheme carries an ~1e-4-relative
-    matvec error floor, so it gets a proportionally looser tolerance (the
-    planner's equilibrated QPs sit well above that floor); bf16x4's ~2^-24
-    floor is f32-like and gets the tight tolerance."""
+    done=1 batch padding. bf16x4's ~2^-24 matvec error floor is f32-like on
+    these small well-conditioned problems (it still diverges on the real
+    TPU workload — see QPSettings.pallas_precision — so it stays
+    experimental) and gets a slightly looser tolerance than highest."""
     rng = np.random.default_rng(0)
     B, n, m = 5, 24, 18
     P = rng.uniform(0.1, 1.0, (B, n))
