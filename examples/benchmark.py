@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--out", default="analysis/benchmark_data.txt")
     ap.add_argument("--margins", type=float, nargs=5, default=[0.8, 0.8, 0.6, 0.9, 0.1],
                     help="position velocity acceleration torque jerk (benchmark.cpp:9)")
+    ap.add_argument("--qp-backend", default="structured",
+                    choices=["structured", "xla", "pallas"])
+    ap.add_argument("--kkt-refine", type=int, default=0)
+    ap.add_argument("--qp-max-iter", type=int, default=700)
     args = ap.parse_args()
 
     import jax
@@ -43,10 +47,19 @@ def main():
 
     from mpc_motion_planner_tpu.bench.analysis import accuracy_stats, violation_counts
     from mpc_motion_planner_tpu.bench.harness import benchmark_records, chain_states
+    from mpc_motion_planner_tpu.ops.qp import QPSettings
     from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
     from mpc_motion_planner_tpu.utils.io import write_benchmark_records
 
-    planner = MotionPlanner(margins=Margins(*args.margins))
+    planner = MotionPlanner(
+        margins=Margins(*args.margins),
+        qp_settings=QPSettings(
+            backend=args.qp_backend,
+            kkt_refine=args.kkt_refine,
+            max_iter=args.qp_max_iter,
+            rho_update_every=0,
+        ),
+    )
 
     @jax.jit
     def run_batch(cur, tgt):

@@ -3,10 +3,20 @@
 TPU-native replacement for the used slice of Ruckig (/root/reference/
 mpc_solver/motionPlanner.hpp:35-37, motionPlanner.cpp:146-175): per-joint
 time-optimal third-order (jerk-limited) point-to-point profiles with
-velocity/acceleration/jerk bounds, nonzero boundary velocities, zero boundary
-accelerations (the only case the reference exercises — current/target
-accelerations default to zero), time-synchronized across joints, and
-evaluable at arbitrary times.
+velocity/acceleration/jerk bounds, nonzero boundary velocities and
+accelerations (the reference API plumbs current/target acceleration into
+Ruckig's InputParameter, motionPlanner.cpp:27-54, though its examples only
+exercise the zero case), time-synchronized across joints, and evaluable at
+arbitrary times.
+
+Nonzero boundary accelerations are handled by reduction: a prologue jerk
+phase takes (v0, a0) to zero acceleration and an epilogue jerk phase (built
+in reverse time) takes zero acceleration to (vf, af); the time-optimal
+zero-acceleration core runs between them. The resulting profile satisfies
+the boundary conditions exactly and all limits, but is not guaranteed
+time-optimal when a boundary acceleration is nonzero (Ruckig's exhaustive
+profile-type enumeration is); for the planner's warm-start role validity
+and synchronization are what matter.
 
 Design (everything closed-form + fixed-iteration bisection, so it vmaps and
 jits with static shapes):
@@ -37,8 +47,6 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-_N_PHASES = 7
-
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -46,14 +54,16 @@ class JerkLimitedTrajectory:
     """Synchronized multi-joint jerk-limited trajectory (a pytree).
 
     All leaves share leading batch dims; the last axis is joints for the
-    state arrays and (joints, 7) for the phase tables.
+    state arrays and (joints, n_phases) for the phase tables (7 phases for
+    zero boundary accelerations, 9 with the prologue/epilogue jerk phases).
     """
 
     duration: jax.Array  # (...,) synchronized total duration
     start_position: jax.Array  # (..., nj)
     start_velocity: jax.Array  # (..., nj)
-    phase_dt: jax.Array  # (..., nj, 7) phase durations (>= 0)
-    phase_jerk: jax.Array  # (..., nj, 7) constant jerk per phase
+    start_acceleration: jax.Array  # (..., nj)
+    phase_dt: jax.Array  # (..., nj, n_phases) phase durations (>= 0)
+    phase_jerk: jax.Array  # (..., nj, n_phases) constant jerk per phase
 
     def at_time(self, t):
         """Sample (position, velocity, acceleration) at time(s) ``t``.
@@ -64,9 +74,9 @@ class JerkLimitedTrajectory:
         t = jnp.minimum(jnp.asarray(t, self.duration.dtype), self.duration)
         p = self.start_position
         v = self.start_velocity
-        a = jnp.zeros_like(v)
+        a = self.start_acceleration
         remaining = t[..., None]  # broadcast over joints
-        for k in range(_N_PHASES):
+        for k in range(self.phase_dt.shape[-1]):
             dt = jnp.clip(remaining, 0.0, self.phase_dt[..., k])
             j = self.phase_jerk[..., k]
             p = p + v * dt + 0.5 * a * dt**2 + j * dt**3 / 6.0
@@ -174,12 +184,16 @@ def plan_trajectory(
     max_acceleration,
     max_jerk,
     bisect_iters: int = 64,
+    start_acceleration=None,
+    target_acceleration=None,
 ) -> JerkLimitedTrajectory:
     """Time-optimal synchronized trajectory (``Ruckig<7>::calculate``).
 
     All state arrays are (..., nj); limit arrays broadcast against them.
-    Boundary accelerations are zero (the only case the reference uses:
-    motionPlanner.cpp:41-54 defaults).
+    Boundary accelerations default to zero (the case the reference's
+    examples use); nonzero values are honored exactly via prologue/epilogue
+    jerk phases (see the module docstring) as the reference API allows
+    (InputParameter current/target acceleration, motionPlanner.cpp:27-54).
     """
     dp = target_position - start_position
     v0, vf = start_velocity, target_velocity
@@ -187,19 +201,55 @@ def plan_trajectory(
     amax = jnp.broadcast_to(max_acceleration, dp.shape).astype(dp.dtype)
     jmax = jnp.broadcast_to(max_jerk, dp.shape).astype(dp.dtype)
 
-    _, _, t_min = _min_time_cruise_velocity(
-        dp, v0, vf, vmax, amax, jmax, bisect_iters
+    with_acc = start_acceleration is not None or target_acceleration is not None
+    a0 = (
+        jnp.zeros_like(v0)
+        if start_acceleration is None
+        else jnp.broadcast_to(start_acceleration, dp.shape).astype(dp.dtype)
     )
-    duration = jnp.max(t_min, axis=-1)
+    af = (
+        jnp.zeros_like(vf)
+        if target_acceleration is None
+        else jnp.broadcast_to(target_acceleration, dp.shape).astype(dp.dtype)
+    )
 
-    vp, tb = _cruise_velocity_for_duration(
-        dp, v0, vf, vmax, duration[..., None], amax, jmax, bisect_iters
+    # ---- prologue: jerk a0 -> 0; epilogue (reverse time): jerk 0 -> af ----
+    t_pre = jnp.abs(a0) / jmax
+    j_pre = -jnp.sign(a0) * jmax
+    dv_pre = a0 * t_pre + 0.5 * j_pre * t_pre**2  # = sign(a0) a0^2 / (2 jmax)
+    dp_pre = v0 * t_pre + 0.5 * a0 * t_pre**2 + j_pre * t_pre**3 / 6.0
+    v0i = v0 + dv_pre
+
+    t_post = jnp.abs(af) / jmax
+    j_post = jnp.sign(af) * jmax
+    dv_post = 0.5 * j_post * t_post**2  # velocity gained while building af
+    vfi = vf - dv_post
+    dp_post = vfi * t_post + j_post * t_post**3 / 6.0
+
+    dpi = dp - dp_pre - dp_post
+
+    _, _, t_min = _min_time_cruise_velocity(
+        dpi, v0i, vfi, vmax, amax, jmax, bisect_iters
     )
-    phase_dt, phase_jerk = _build_phases(v0, vp, vf, tb, amax, jmax)
+    duration = jnp.max(t_min + t_pre + t_post, axis=-1)
+
+    inner_T = duration[..., None] - t_pre - t_post
+    vp, tb = _cruise_velocity_for_duration(
+        dpi, v0i, vfi, vmax, inner_T, amax, jmax, bisect_iters
+    )
+    phase_dt, phase_jerk = _build_phases(v0i, vp, vfi, tb, amax, jmax)
+    if with_acc:
+        phase_dt = jnp.concatenate(
+            [t_pre[..., None], phase_dt, t_post[..., None]], axis=-1
+        )
+        phase_jerk = jnp.concatenate(
+            [j_pre[..., None], phase_jerk, j_post[..., None]], axis=-1
+        )
     return JerkLimitedTrajectory(
         duration=duration,
         start_position=start_position,
         start_velocity=start_velocity,
+        start_acceleration=a0,
         phase_dt=phase_dt,
         phase_jerk=phase_jerk,
     )

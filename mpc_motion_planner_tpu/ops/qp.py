@@ -18,11 +18,14 @@ TPU-first design decisions:
   GEMV work that XLA fuses — no per-iteration factorizations.
 * Per-row rho: rows with l == u (equality rows — the collocation defects)
   get ``rho * rho_eq_scale`` (OSQP convention).
-* P is restricted to a diagonal (vector): the reference's Lagrangian
-  Hessian is identically zero (its second-order constraint derivatives
-  return zeros, robot_ocp.hpp:165-168) and Gershgorin regularization
-  turns it into a small positive diagonal, so the planner only ever needs
-  diagonal P. Dense-P support can be added when a use case appears.
+* P may be a diagonal (B, n) — the planner's case: its Lagrangian Hessian
+  is identically zero (second-order constraint derivatives return zeros,
+  robot_ocp.hpp:165-168) and Gershgorin regularization turns it into a
+  small positive diagonal — or a general dense (B, n, n) symmetric PSD
+  matrix, matching polyMPC's boxADMM which takes an arbitrary convex
+  Hessian (motionPlanner.hpp:10-11, hessian_update_impl hook at
+  polympc_redef.hpp:124-128). Dense P is supported on the XLA backend
+  only; the pallas/structured backends raise a clear error.
 """
 
 from __future__ import annotations
@@ -123,6 +126,13 @@ def _rho_pattern(lb, ub, settings: QPSettings):
     """Per-row rho multiplier: equality rows get rho_eq_scale."""
     eq = jnp.abs(ub - lb) < 1e-12
     return jnp.where(eq, settings.rho_eq_scale, 1.0).astype(lb.dtype)
+
+
+def _pmul(Ps, x):
+    """P @ x for diagonal (B, n) or dense (B, n, n) P."""
+    if Ps.ndim == 3:
+        return jnp.einsum("bij,bj->bi", Ps, x)
+    return Ps * x
 
 
 def _ruiz_equilibrate(A, iters: int):
@@ -311,17 +321,25 @@ def solve_box_qp(
     yc0=None,
     yx0=None,
 ) -> QPSolution:
-    """Solve a batch of box QPs:  min 1/2 x^T diag(P) x + q^T x
+    """Solve a batch of box QPs:  min 1/2 x^T P x + q^T x
     s.t. lc <= A x <= uc,  lx <= x <= ux.
 
-    Shapes: P_diag, q, lx, ux: (B, n); A: (B, m, n); lc, uc: (B, m).
-    Warm starts and returned solutions/duals are in UNSCALED units;
-    termination residuals are evaluated in unscaled units as well, so
-    eps_abs/eps_rel retain their reference meaning under equilibration.
+    Shapes: q, lx, ux: (B, n); A: (B, m, n); lc, uc: (B, m); P_diag is a
+    diagonal (B, n) or a dense symmetric PSD (B, n, n) Hessian (dense P:
+    XLA backend only). Warm starts and returned solutions/duals are in
+    UNSCALED units; termination residuals are evaluated in unscaled units
+    as well, so eps_abs/eps_rel retain their reference meaning under
+    equilibration.
     """
     B, m, n = A.shape
     dt = q.dtype
 
+    if P_diag.ndim == 3 and settings.backend != "xla":
+        raise ValueError(
+            "dense P is only supported on the 'xla' backend; the pallas "
+            "and structured backends exploit diagonal P (the planner's "
+            "regularized zero Hessian)."
+        )
     if settings.backend == "pallas" and settings.pallas_precision == "split3":
         import os as _os
 
@@ -355,7 +373,11 @@ def _solve_box_qp_impl(
         D = jnp.ones((B, n), dt)
         E = jnp.ones((B, m), dt)
     As = E[:, :, None] * A * D[:, None, :]
-    Ps = D * P_diag * D
+    dense_P = P_diag.ndim == 3
+    if dense_P:
+        Ps = D[:, :, None] * P_diag * D[:, None, :]
+    else:
+        Ps = D * P_diag * D
     qs = D * q
     lcs, ucs = E * lc, E * uc
     lxs, uxs = lx / D, ux / D
@@ -370,7 +392,10 @@ def _solve_box_qp_impl(
         rc = rho_s[:, None] * pat_c
         rx = rho_s[:, None] * pat_x
         M = jnp.einsum("bmi,bm,bmj->bij", As, rc, As)
-        M = M + jax.vmap(jnp.diag)(Ps + sigma + rx)
+        if dense_P:
+            M = M + Ps + jax.vmap(jnp.diag)(sigma + rx)
+        else:
+            M = M + jax.vmap(jnp.diag)(Ps + sigma + rx)
         if settings.kkt_factor == "cholesky":
             L = jnp.linalg.cholesky(M)
             eye = jnp.broadcast_to(jnp.eye(n, dtype=dt), M.shape)
@@ -415,7 +440,8 @@ def _solve_box_qp_impl(
         r_prim_x = jnp.max(jnp.abs(D * (x - zx)), axis=-1)
         r_prim = jnp.maximum(r_prim_c, r_prim_x)
         Aty = jnp.einsum("bmn,bm->bn", As, yc)
-        r_dual = jnp.max(jnp.abs((Ps * x + qs + Aty + yx) / D), axis=-1)
+        Px = _pmul(Ps, x)
+        r_dual = jnp.max(jnp.abs((Px + qs + Aty + yx) / D), axis=-1)
         scale_p = jnp.maximum(
             jnp.maximum(
                 jnp.max(jnp.abs(Ax / E), axis=-1), jnp.max(jnp.abs(zc / E), axis=-1)
@@ -426,7 +452,7 @@ def _solve_box_qp_impl(
         )
         scale_d = jnp.maximum(
             jnp.maximum(
-                jnp.max(jnp.abs(Ps * x / D), axis=-1),
+                jnp.max(jnp.abs(Px / D), axis=-1),
                 jnp.max(jnp.abs(qs / D), axis=-1),
             ),
             jnp.maximum(
@@ -456,7 +482,7 @@ def _solve_box_qp_impl(
         )
         xt = jnp.einsum("bij,bj->bi", M_inv, rhs)
         for _ in range(settings.kkt_refine):
-            Mxt = (Ps + sigma + rx) * xt + jnp.einsum(
+            Mxt = _pmul(Ps, xt) + (sigma + rx) * xt + jnp.einsum(
                 "bmn,bm->bn", As, rc * jnp.einsum("bmn,bn->bm", As, xt)
             )
             xt = xt + jnp.einsum("bij,bj->bi", M_inv, rhs - Mxt)

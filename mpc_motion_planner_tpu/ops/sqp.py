@@ -33,6 +33,8 @@ import jax.numpy as jnp
 
 from ..ocp import NLPBounds, TranscribedOCP
 from .qp import QPSettings, QPSolution, solve_box_qp
+from .qp_structured import solve_box_qp_structured
+from .structure import build_structured_A
 
 
 @jax.tree_util.register_dataclass
@@ -73,13 +75,27 @@ class SQPResult:
 
 
 def hessian_regularization_diag(ocp: TranscribedOCP, batch_shape, dtype, eps):
-    """Gershgorin-shift regularization of the Lagrangian Hessian.
-
-    For a general symmetric H the shift makes every Gershgorin disc
-    positive: H_ii += (r_i - H_ii) + eps wherever H_ii - r_i <= 0. The
-    planner's H is exactly zero, so the result is the constant eps diagonal.
-    """
+    """Gershgorin shift specialized to the planner's H == 0 (the reference's
+    second-order constraint derivatives return zeros, robot_ocp.hpp:165-168,
+    and the cost is linear): the general rule below yields the constant eps
+    diagonal."""
     return jnp.full((*batch_shape, ocp.num_var), eps, dtype)
+
+
+def gershgorin_regularize(H, eps=0.01):
+    """General Gershgorin-disc regularization of a batched symmetric
+    Lagrangian Hessian (B, n, n) — the actual algorithm of the reference's
+    ``hessian_regularisation_dense_impl``
+    (/root/reference/mpc_solver/polympc_redef.hpp:41-62): for every row i
+    with a_ii - r_i <= 0 (r_i = sum_j |H_ij| - |a_ii|), shift the diagonal
+    by (r_i - a_ii) + eps so all Gershgorin discs lie in the positive
+    half-plane (H becomes positive definite)."""
+    aii = jnp.diagonal(H, axis1=-2, axis2=-1)
+    ri = jnp.sum(jnp.abs(H), axis=-1) - jnp.abs(aii)
+    shift = jnp.where(aii - ri <= 0, (ri - aii) + eps, 0.0)
+    n = H.shape[-1]
+    eye = jnp.eye(n, dtype=H.dtype)
+    return H + shift[..., None] * eye
 
 
 def constraint_violation(ocp: TranscribedOCP, bounds: NLPBounds, z):
@@ -130,21 +146,30 @@ def sqp_solve(
     qp_settings: QPSettings = QPSettings(),
     lam_c0=None,
     lam_x0=None,
+    hessian_fn=None,
 ) -> SQPResult:
     """Run `settings.max_iter` SQP iterations from the warm start z0.
 
     z0: (B, num_var); bounds leaves are (num_var,)/(num_ineq,) or batched.
+
+    hessian_fn: optional problem-delegated Lagrangian-Hessian callback
+    ``(z (B, n), lam_c (B, m)) -> (B, n, n)`` — the counterpart of
+    polyMPC's ``hessian_update_impl`` hook (polympc_redef.hpp:124-128).
+    When given, the dense Hessian is Gershgorin-regularized
+    (:func:`gershgorin_regularize`) and passed to the QP; requires the
+    'xla' QP backend (dense P). When None (the planner's case, H == 0),
+    the regularization reduces to the constant eps diagonal.
     """
     # Full-precision matmuls throughout (TPU defaults to bf16 passes, which
     # is not accurate enough for the Jacobian assembly / dynamics sweeps).
     with jax.default_matmul_precision("highest"):
         return _sqp_solve_impl(
-            ocp, bounds, z0, settings, qp_settings, lam_c0, lam_x0
+            ocp, bounds, z0, settings, qp_settings, lam_c0, lam_x0, hessian_fn
         )
 
 
 def _sqp_solve_impl(
-    ocp, bounds, z0, settings, qp_settings, lam_c0, lam_x0
+    ocp, bounds, z0, settings, qp_settings, lam_c0, lam_x0, hessian_fn=None
 ) -> SQPResult:
     B = z0.shape[0]
     dt = z0.dtype
@@ -174,13 +199,26 @@ def _sqp_solve_impl(
         mu_s = jnp.asarray(settings.slack_penalty, dt)
         inf = jnp.asarray(jnp.inf, dt)
 
+    structured = qp_settings.backend == "structured"
+
     for _ in range(settings.max_iter):
         # ---- full relinearization at the current iterate ----
         c_eq = jax.vmap(ocp.eq_residual)(z)  # (B, num_eq)
         g = jax.vmap(ocp.ineq_residual)(z)  # (B, num_ineq)
-        A = jax.vmap(ocp.constraint_matrix)(z)  # (B, m, n)
+        if structured:
+            # matrix-free: A is never materialized (ops/structure.py)
+            sa = build_structured_A(ocp, z, n_slack=n_s)
+        else:
+            A = jax.vmap(ocp.constraint_matrix)(z)  # (B, m, n)
         h = jax.vmap(ocp.cost_gradient)(z)  # (B, n)
-        P_diag = hessian_regularization_diag(ocp, (B,), dt, settings.reg_eps)
+        if hessian_fn is None:
+            P_diag = hessian_regularization_diag(
+                ocp, (B,), dt, settings.reg_eps
+            )
+        else:
+            P_diag = gershgorin_regularize(
+                hessian_fn(z, lam_c), settings.reg_eps
+            )
 
         # ---- QP subproblem over the step d (+ elastic slacks) ----
         lc = jnp.concatenate([-c_eq, lb_g - g], axis=-1)
@@ -188,20 +226,36 @@ def _sqp_solve_impl(
         lx = lb_var - z
         ux = ub_var - z
         if n_s:
-            A_qp = jnp.concatenate([A, S_cols], axis=-1)
-            P_qp = jnp.concatenate(
-                [P_diag, jnp.full((B, n_s), settings.reg_eps, dt)], axis=-1
-            )
+            if P_diag.ndim == 3:  # dense Hessian: block-diag slack extension
+                sdiag = jnp.arange(n, n + n_s)
+                P_qp = (
+                    jnp.zeros((B, n + n_s, n + n_s), dt)
+                    .at[:, :n, :n]
+                    .set(P_diag)
+                    .at[:, sdiag, sdiag]
+                    .set(settings.reg_eps)
+                )
+            else:
+                P_qp = jnp.concatenate(
+                    [P_diag, jnp.full((B, n_s), settings.reg_eps, dt)], axis=-1
+                )
             h_qp = jnp.concatenate([h, jnp.full((B, n_s), mu_s)], axis=-1)
             lx_qp = jnp.concatenate([lx, jnp.zeros((B, n_s), dt)], axis=-1)
             ux_qp = jnp.concatenate([ux, jnp.full((B, n_s), inf)], axis=-1)
             yx0_qp = jnp.concatenate([lam_x, jnp.zeros((B, n_s), dt)], axis=-1)
         else:
-            A_qp, P_qp, h_qp, lx_qp, ux_qp, yx0_qp = A, P_diag, h, lx, ux, lam_x
-        qp: QPSolution = solve_box_qp(
-            P_qp, h_qp, A_qp, lc, uc, lx_qp, ux_qp, qp_settings,
-            yc0=lam_c, yx0=yx0_qp,
-        )
+            P_qp, h_qp, lx_qp, ux_qp, yx0_qp = P_diag, h, lx, ux, lam_x
+        if structured:
+            qp: QPSolution = solve_box_qp_structured(
+                ocp, sa, P_qp, h_qp, lc, uc, lx_qp, ux_qp, qp_settings,
+                yc0=lam_c, yx0=yx0_qp,
+            )
+        else:
+            A_qp = jnp.concatenate([A, S_cols], axis=-1) if n_s else A
+            qp = solve_box_qp(
+                P_qp, h_qp, A_qp, lc, uc, lx_qp, ux_qp, qp_settings,
+                yc0=lam_c, yx0=yx0_qp,
+            )
         d = qp.x[:, :n]
         y_box = qp.y_box[:, :n]
 

@@ -197,9 +197,18 @@ class MotionPlanner:
 
     # ---------------- warm start ----------------
 
-    def plan_warm_start(self, current_state, target_state) -> JerkLimitedTrajectory:
+    def plan_warm_start(
+        self,
+        current_state,
+        target_state,
+        current_acceleration=None,
+        target_acceleration=None,
+    ) -> JerkLimitedTrajectory:
         """Jerk-limited time-optimal trajectory between the boundary states
-        (warm_start_RK, motionPlanner.cpp:146-175)."""
+        (warm_start_RK, motionPlanner.cpp:146-175). Boundary accelerations
+        default to zero but are honored when given, mirroring the reference
+        API's current/target acceleration plumbing into Ruckig's
+        InputParameter (motionPlanner.cpp:27-54, motionPlanner.hpp:35-37)."""
         nq = self.ocp.nq
         m = self.margins
         return plan_trajectory(
@@ -210,6 +219,8 @@ class MotionPlanner:
             m.velocity * self.limits.max_velocity,
             m.acceleration * self.limits.max_acceleration,
             m.jerk * self.limits.max_jerk,
+            start_acceleration=current_acceleration,
+            target_acceleration=target_acceleration,
         )
 
     def warm_start_vector(self, traj: JerkLimitedTrajectory):

@@ -172,3 +172,67 @@ def test_chain_sampled_otg_accuracy():
     p_end, v_end, _ = traj.at_time(traj.duration)
     assert float(jnp.max(jnp.abs(p_end - tgt[:, :7]))) < 1e-5
     assert float(jnp.max(jnp.abs(v_end - tgt[:, 7:]))) < 1e-6
+
+
+class TestBoundaryAccelerations:
+    """Nonzero current/target accelerations (the reference API's
+    InputParameter plumbing, motionPlanner.cpp:27-54)."""
+
+    def _plan(self, a0=None, af=None):
+        import jax.numpy as jnp
+
+        p0 = jnp.asarray([0.0, -0.5, 1.0])
+        v0 = jnp.asarray([0.3, -0.2, 0.0])
+        pf = jnp.asarray([1.0, 0.4, -0.8])
+        vf = jnp.asarray([-0.1, 0.2, 0.3])
+        return plan_trajectory(
+            p0, v0, pf, vf, 2.0, 4.0, 50.0,
+            start_acceleration=a0, target_acceleration=af,
+        ), (p0, v0, pf, vf)
+
+    def test_boundary_conditions_hit_exactly(self):
+        import jax.numpy as jnp
+
+        a0 = jnp.asarray([1.5, -2.0, 0.7])
+        af = jnp.asarray([-0.8, 1.2, 0.0])
+        traj, (p0, v0, pf, vf) = self._plan(a0, af)
+        p, v, a = traj.at_time(0.0)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(p0), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v0), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(a0), atol=1e-12)
+        p, v, a = traj.at_time(traj.duration)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(pf), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(vf), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(af), atol=1e-8)
+
+    def test_limits_respected_along_profile(self):
+        import jax
+        import jax.numpy as jnp
+
+        a0 = jnp.asarray([3.0, -3.5, 2.0])
+        af = jnp.asarray([1.0, -1.0, 2.5])
+        traj, _ = self._plan(a0, af)
+        ts = jnp.linspace(0.0, traj.duration, 400)
+        p, v, a = jax.vmap(traj.at_time)(ts)
+        assert float(jnp.max(jnp.abs(v))) <= 2.0 + 1e-8
+        assert float(jnp.max(jnp.abs(a))) <= 4.0 + 1e-8
+        # finite-difference jerk within jmax (loose factor for sampling)
+        dt = float(ts[1] - ts[0])
+        jerk = np.diff(np.asarray(a), axis=0) / dt
+        assert np.abs(jerk).max() <= 50.0 * 1.05
+
+    def test_zero_acceleration_path_unchanged(self):
+        import jax.numpy as jnp
+
+        ref, _ = self._plan(None, None)
+        got, _ = self._plan(jnp.zeros(3), jnp.zeros(3))
+        np.testing.assert_allclose(
+            float(got.duration), float(ref.duration), rtol=1e-12
+        )
+        for t in (0.1, 0.5, 0.9):
+            pr = ref.at_time(t * ref.duration)
+            pg = got.at_time(t * got.duration)
+            for x, y in zip(pr, pg):
+                np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), atol=1e-10
+                )

@@ -48,6 +48,31 @@ def test_sharded_solve_matches_single_device(planner):
     )
 
 
+def test_sharded_structured_backend_matches_single_device():
+    """The PRODUCTION backend (matrix-free structured ADMM) partitions
+    under GSPMD over the batch mesh and reproduces single-device results —
+    the round-1 gap was that only the dense XLA path ever ran sharded."""
+    planner = MotionPlanner(
+        margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1),
+        sqp_settings=SQPSettings(max_iter=1),
+        qp_settings=QPSettings(
+            max_iter=50, check_every=10, rho_update_every=0,
+            backend="structured", kkt_refine=1,
+        ),
+    )
+    cur, tgt = _states(planner, 8)
+    sol_ref = planner.solve(cur, tgt)
+
+    mesh = make_mesh(jax.devices()[:4])
+    cur_s, tgt_s = shard_batch(mesh, (cur, tgt))
+    step = sharded_solve_fn(planner, mesh)
+    sol, stats = step(cur_s, tgt_s)
+    np.testing.assert_allclose(np.asarray(sol.z), np.asarray(sol_ref.z), atol=2e-8)
+    assert float(stats["max_violation"]) == pytest.approx(
+        float(jnp.max(sol_ref.violation)), rel=1e-6
+    )
+
+
 def test_sharding_actually_partitions(planner):
     mesh = make_mesh(jax.devices()[:4])
     cur, tgt = _states(planner, 8)

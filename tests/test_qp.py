@@ -240,3 +240,122 @@ def test_cholesky_factor_matches_lu():
         np.testing.assert_allclose(
             np.asarray(sol.x), np.asarray(ref.x), atol=5e-3
         )
+
+
+def test_dense_P_matches_diagonal_path():
+    """A dense P that happens to be diagonal must reproduce the vector-P
+    solution exactly (same algorithm, same scaling)."""
+    rng = np.random.default_rng(21)
+    B, n, m = 3, 8, 5
+    P = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    q = jnp.asarray(rng.standard_normal((B, n)))
+    A = jnp.asarray(rng.standard_normal((B, m, n)))
+    lc = jnp.asarray(rng.uniform(-2.0, -0.5, (B, m)))
+    uc = jnp.asarray(rng.uniform(0.5, 2.0, (B, m)))
+    lx = jnp.full((B, n), -3.0)
+    ux = jnp.full((B, n), 3.0)
+    settings = QPSettings(max_iter=2000)
+    ref = solve_box_qp(P, q, A, lc, uc, lx, ux, settings)
+    P_dense = jnp.stack([jnp.diag(P[b]) for b in range(B)])
+    got = solve_box_qp(P_dense, q, A, lc, uc, lx, ux, settings)
+    assert bool(jnp.all(got.converged))
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+
+
+def test_dense_P_general_hessian_kkt():
+    """General (non-diagonal) PSD Hessian: verify the KKT conditions of the
+    returned solution directly (stationarity + primal feasibility +
+    complementarity), matching boxADMM's general-QP capability."""
+    rng = np.random.default_rng(22)
+    B, n, m = 4, 10, 6
+    G = rng.standard_normal((B, n, n))
+    P = jnp.asarray(np.einsum("bki,bkj->bij", G, G) / n + 0.1 * np.eye(n))
+    q = jnp.asarray(rng.standard_normal((B, n)))
+    A = jnp.asarray(rng.standard_normal((B, m, n)))
+    lc = jnp.asarray(rng.uniform(-2.0, -0.5, (B, m)))
+    uc = jnp.asarray(rng.uniform(0.5, 2.0, (B, m)))
+    lx = jnp.full((B, n), -5.0)
+    ux = jnp.full((B, n), 5.0)
+    sol = solve_box_qp(P, q, A, lc, uc, lx, ux, QPSettings(max_iter=4000))
+    assert bool(jnp.all(sol.converged))
+    x, y, yx = np.asarray(sol.x), np.asarray(sol.y_constraints), np.asarray(sol.y_box)
+    # stationarity: P x + q + A^T y + y_box = 0
+    stat = np.einsum("bij,bj->bi", np.asarray(P), x) + np.asarray(q)
+    stat += np.einsum("bmn,bm->bn", np.asarray(A), y) + yx
+    assert np.abs(stat).max() < 5e-3
+    # primal feasibility
+    Ax = np.einsum("bmn,bn->bm", np.asarray(A), x)
+    assert (Ax - np.asarray(uc)).max() < 5e-3
+    assert (np.asarray(lc) - Ax).max() < 5e-3
+
+
+def test_dense_P_rejected_off_xla():
+    P = jnp.eye(4)[None].repeat(2, 0)
+    q = jnp.zeros((2, 4))
+    A = jnp.ones((2, 1, 4))
+    with pytest.raises(ValueError, match="dense P"):
+        solve_box_qp(
+            P, q, A, -jnp.ones((2, 1)), jnp.ones((2, 1)),
+            -jnp.ones((2, 4)), jnp.ones((2, 4)),
+            QPSettings(backend="pallas"),
+        )
+
+
+def test_gershgorin_regularization_general_hessian():
+    """The general Gershgorin shift (polympc_redef.hpp:41-62) renders a
+    random indefinite symmetric H positive definite and leaves strictly
+    diagonally dominant PD matrices untouched."""
+    from mpc_motion_planner_tpu.ops.sqp import gershgorin_regularize
+
+    rng = np.random.default_rng(23)
+    H = rng.standard_normal((5, 16, 16))
+    H = jnp.asarray(H + np.swapaxes(H, -1, -2))
+    assert np.linalg.eigvalsh(np.asarray(H)).min() < 0  # indefinite input
+    Hr = gershgorin_regularize(H, eps=0.01)
+    eigs = np.linalg.eigvalsh(np.asarray(Hr))
+    assert eigs.min() > 0
+    # off-diagonals untouched
+    off = np.array(Hr - H)
+    off[:, np.arange(16), np.arange(16)] = 0.0
+    assert np.abs(off).max() == 0.0
+
+    # strictly diagonally dominant: aii - ri > 0 everywhere -> unchanged
+    Hd = np.asarray(H) + np.eye(16) * (
+        np.abs(np.asarray(H)).sum(-1).max() + 1.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(gershgorin_regularize(jnp.asarray(Hd))), Hd
+    )
+
+
+def test_sqp_accepts_problem_delegated_hessian():
+    """sqp_solve's hessian_fn hook (polympc_redef.hpp:124-128): a nonzero
+    Lagrangian Hessian flows through Gershgorin regularization and the
+    dense-P QP; with H == 0 it must reproduce the default path."""
+    import jax
+
+    from mpc_motion_planner_tpu.ops.sqp import SQPSettings, sqp_solve
+    from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
+
+    planner = MotionPlanner(margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1))
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    cur = jnp.concatenate(planner.sample_random_state(k1, (2,)), -1)
+    tgt = jnp.concatenate(planner.sample_random_state(k2, (2,)), -1)
+    bounds = planner.nlp_bounds(cur, tgt)
+    z0 = planner.warm_start_vector(planner.plan_warm_start(cur, tgt))
+    ocp = planner.ocp
+    n = ocp.num_var
+
+    ref = sqp_solve(ocp, bounds, z0, SQPSettings(max_iter=1), QPSettings())
+    zero_h = lambda z, lam: jnp.zeros((z.shape[0], n, n), z.dtype)
+    got = sqp_solve(
+        ocp, bounds, z0, SQPSettings(max_iter=1), QPSettings(),
+        hessian_fn=zero_h,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.z), np.asarray(ref.z), rtol=1e-6, atol=1e-8
+    )
