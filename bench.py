@@ -11,10 +11,13 @@ Prints ONE JSON line:
      "vs_baseline": N, ...}
 
 Baseline: the C++ reference publishes no numbers and cannot be built here
-(polyMPC submodule is not vendored; no pinocchio/ruckig on the image —
-BASELINE.md). vs_baseline therefore uses the documented estimate of
-50 solves/s for the single-core C++ reference (2 SQP x 700 ADMM iterations
-on a 400-variable NLP at ~10-20 ms/solve), per BASELINE.md's protocol note.
+(polyMPC submodule is not vendored; no pinocchio/ruckig on the image).
+vs_baseline divides by 50 solves/s — the ESTIMATED single-core C++ figure,
+derived step-by-step in BASELINE.md "Measured baseline proxy" and chosen
+because it is conservative: the measured same-code serial proxy
+(examples/baseline_proxy.py, batch-1 float64 CPU solves of this exact
+workload) is 2.5 solves/s, ~20x slower. Override with
+BENCH_BASELINE=<solves/s>.
 """
 
 import json
@@ -24,7 +27,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_SOLVES_PER_S = 50.0
+# See BASELINE.md "Measured baseline proxy" for both figures' provenance.
+BASELINE_SOLVES_PER_S = float(os.environ.get("BENCH_BASELINE", "0")) or 50.0
 
 
 def main():
@@ -39,27 +43,32 @@ def main():
     from mpc_motion_planner_tpu.ops.qp import QPSettings
     from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
 
-    backend = os.environ.get("BENCH_QP_BACKEND", "pallas")
-    if jax.default_backend() == "cpu":
+    # "structured": matrix-free ADMM over the batch-shared constraint
+    # operator + banded-arrow factorization (the production path; fastest
+    # measured and portable). "pallas": the round-1 fused dense kernel.
+    # "xla": dense portable fallback.
+    backend = os.environ.get("BENCH_QP_BACKEND", "structured")
+    if jax.default_backend() == "cpu" and backend == "pallas":
         backend = "xla"  # the fused kernel is TPU-only
-    # The fused kernel's VMEM-resident chunks are dispatched per solve-chunk:
-    # solving the full batch as fixed-size slices keeps each pallas_call's
-    # grid small (device-fault guard) and pipelines compile reuse.
+    # Pallas only: VMEM-resident chunks dispatched per solve-chunk.
     chunk = int(os.environ.get("BENCH_CHUNK", "32" if backend == "pallas" else "0"))
 
-    # One KKT iterative-refinement step recovers f64-like ADMM convergence
-    # at f32 (qp convergence 30% -> 80% on this workload) for ~10% wall;
-    # running the whole 700-iteration budget as ONE VMEM-resident kernel
-    # chunk (rho adaptation off) removes the chunking overhead — measured
-    # 93 -> 144 solves/s at dispatch size 32 with identical quality.
-    refine = int(os.environ.get("BENCH_KKT_REFINE", "1"))
+    # The structured backend's factored (backward-stable) KKT solves do not
+    # need iterative refinement for f32 convergence (measured: identical
+    # quality, ~30% faster at refine=0); the dense backends' explicit
+    # inverse does (qp convergence 30% -> 80% with refine=1).
+    refine = int(
+        os.environ.get("BENCH_KKT_REFINE", "0" if backend == "structured" else "1")
+    )
     rho_every = int(os.environ.get("BENCH_RHO_EVERY", "0"))
+    max_iter = int(os.environ.get("BENCH_QP_MAX_ITER", "700"))
 
     def make_run(backend):
         planner = MotionPlanner(
             margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1),
             qp_settings=QPSettings(
-                backend=backend, kkt_refine=refine, rho_update_every=rho_every
+                backend=backend, kkt_refine=refine, rho_update_every=rho_every,
+                max_iter=max_iter,
             ),
         )
 
@@ -68,7 +77,7 @@ def main():
             sol = planner.solve(cur, tgt)
             X, _, _ = sol.states()
             err = jnp.max(jnp.abs(X[:, -1] - tgt), axis=-1)
-            return sol.z, sol.violation, err
+            return sol.z, sol.violation, err, sol.qp_converged
 
         if chunk and backend == "pallas":
             def run(cur, tgt):
@@ -108,7 +117,7 @@ def main():
         out = jax.block_until_ready(run(current, target))
         times.append(time.perf_counter() - t0)
 
-    z, violation, err = out
+    z, violation, err, qp_conv = out
     best = min(times)
     solves_per_s = batch / best
     ok = np.asarray(err < 2e-2)
@@ -123,6 +132,10 @@ def main():
         "p50_latency_ms": round(1e3 * best / batch, 4),
         "tol_hit_rate": round(float(ok.mean()), 4),
         "median_violation": float(np.median(np.asarray(violation))),
+        # fraction of QP subproblems converged within the iteration budget
+        "qp_conv_rate": round(float(np.asarray(qp_conv).mean()), 4),
+        "qp_max_iter": max_iter,
+        "kkt_refine": refine,
         "qp_backend": backend,
         "device": str(jax.devices()[0]),
     }
