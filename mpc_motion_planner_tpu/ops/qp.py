@@ -66,8 +66,14 @@ class QPSettings:
     rho_min: float = dataclasses.field(default=1e-6, metadata={"static": True})
     rho_max: float = dataclasses.field(default=1e6, metadata={"static": True})
     # "xla": batched einsum iterations (portable, supports adaptive rho).
-    # "pallas": fused VMEM-resident TPU kernel (fixed rho, float32) — the
-    # matrices stay on-chip for the whole iteration loop.
+    # "pallas": fused VMEM-resident TPU kernel over DENSE per-problem
+    # matrices (fixed rho, float32) — round 1's kernel, kept as reference.
+    # "structured": matrix-free applies + banded-arrow KKT factorization
+    # (ops/qp_structured.py) — portable, supports adaptive rho.
+    # "structured_pallas": the structured algorithm fused into a single
+    # VMEM-resident TPU kernel with the batch on the lane axis
+    # (ops/pallas/structured_admm.py; fixed rho, diagonal P, float32) —
+    # the production TPU path.
     backend: str = dataclasses.field(default="xla", metadata={"static": True})
     # Problems per Pallas kernel program: the G independent matvec chains
     # are unrolled back-to-back so their MXU ops pipeline. Measured on the

@@ -199,7 +199,13 @@ def _sqp_solve_impl(
         mu_s = jnp.asarray(settings.slack_penalty, dt)
         inf = jnp.asarray(jnp.inf, dt)
 
-    structured = qp_settings.backend == "structured"
+    structured = qp_settings.backend in ("structured", "structured_pallas")
+    if qp_settings.backend == "structured_pallas":
+        from .pallas.structured_admm import solve_box_qp_structured_pallas
+
+        structured_solver = solve_box_qp_structured_pallas
+    else:
+        structured_solver = solve_box_qp_structured
 
     for _ in range(settings.max_iter):
         # ---- full relinearization at the current iterate ----
@@ -246,7 +252,7 @@ def _sqp_solve_impl(
         else:
             P_qp, h_qp, lx_qp, ux_qp, yx0_qp = P_diag, h, lx, ux, lam_x
         if structured:
-            qp: QPSolution = solve_box_qp_structured(
+            qp: QPSolution = structured_solver(
                 ocp, sa, P_qp, h_qp, lc, uc, lx_qp, ux_qp, qp_settings,
                 yc0=lam_c, yx0=yx0_qp,
             )

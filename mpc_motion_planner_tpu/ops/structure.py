@@ -121,7 +121,9 @@ def apply_A(ocp, sa: StructuredA, v):
 
     # equality rows: E_D + p*C_dyn + p-column
     vX_seg = vX[:, idx]  # (B, S, K, nx)
-    dX = jnp.einsum("kj,bsji->bski", ocp.coll.diff_matrix, vX_seg)
+    dX = jnp.einsum(
+        "kj,bsji->bski", ocp.coll.diff_matrix.astype(v.dtype), vX_seg
+    )
     f_lin = ocp.dynamics(vX, vU)  # (B, nodes, nx) — f is linear
     eq = (dX - sa.p[:, None, None, None] * f_lin[:, idx]).reshape(B, num_eq)
     eq = eq - sa.f_rows * vp[:, None]
@@ -152,7 +154,9 @@ def apply_AT(ocp, sa: StructuredA, w):
         return cf[:, i1] + v2[None, :, None] * cf[:, i2]
 
     # E_D^T: D^T over local nodes, then segment->node accumulation
-    X_out = seg_to_nodes(jnp.einsum("kj,bski->bsji", ocp.coll.diff_matrix, w_eq))
+    X_out = seg_to_nodes(
+        jnp.einsum("kj,bski->bsji", ocp.coll.diff_matrix.astype(w.dtype), w_eq)
+    )
 
     # C_dyn^T: row (s,k,i) has -p at (node qdot_i) for i<nq, else (node u_{i-nq})
     w_nodes = seg_to_nodes(w_eq)  # (B, nodes, nx)

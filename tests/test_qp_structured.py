@@ -242,3 +242,93 @@ def test_structured_backend_solves_planner_qps_to_tolerance():
         np.asarray(lc) - Ax, 0.0
     )
     assert viol[conv].max() < 5e-3
+
+
+@pytest.mark.parametrize("n_slack", [0, None])
+def test_banded_factor_matches_group_factor(ocp, n_slack):
+    """Node-level block-banded Cholesky (the fused kernel's factor form)
+    solves the same system as the group-tridiagonal factorization."""
+    if n_slack is None:
+        n_slack = ocp.num_nodes
+    B = 3
+    z = _random_z(ocp, jax.random.PRNGKey(4), B)
+    sa = structure.build_structured_A(ocp, z, n_slack=n_slack)
+    n = ocp.num_var + n_slack
+    m = ocp.num_eq + ocp.num_ineq
+    rng = np.random.default_rng(13)
+    D = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    w = jnp.asarray(rng.uniform(0.1, 3.0, (B, m)))
+    sig = jnp.asarray(rng.uniform(0.5, 1.5, (B, n)))
+    rhs = jnp.asarray(rng.standard_normal((B, n)))
+
+    K, nx = ocp.coll.order + 1, ocp.nx
+    w_eq = w[:, : ocp.num_eq].reshape(B, -1, K, nx)
+    w_g = w[:, ocp.num_eq :].reshape(B, ocp.num_nodes, -1)
+    Mband, p_col, m_pp = qs.assemble_banded_M(ocp, sa, w_eq, w_g, D, sig)
+    fac_g = qs.factor_arrow(Mband, p_col, m_pp, ocp.coll.order)
+    x_g = qs.solve_arrow(ocp, fac_g, ocp.coll.order, rhs, n_slack)
+    fac_b = qs.factor_banded(Mband, p_col, m_pp, ocp.coll.order)
+    x_b = qs.solve_arrow_banded(ocp, fac_b, rhs, n_slack)
+    np.testing.assert_allclose(
+        np.asarray(x_b), np.asarray(x_g), rtol=1e-9, atol=1e-11
+    )
+
+
+@pytest.mark.parametrize("slack", [False, True])
+def test_structured_pallas_kernel_matches_xla_backend(slack):
+    """The fused lane-major kernel (interpret mode off-TPU) tracks the XLA
+    structured backend on real planner QPs: identical convergence flags,
+    iterates within f32 factorization-rounding drift."""
+    from mpc_motion_planner_tpu.ops.pallas.structured_admm import (
+        solve_box_qp_structured_pallas,
+    )
+
+    ocp, sa, A, P, h, lc, uc, lx, ux = _planner_qp_data(B=4, slack=slack)
+    # the kernel is float32-only: compare both backends at f32
+    f32 = jnp.float32
+    sa = structure.StructuredA(
+        p=sa.p.astype(f32), f_rows=sa.f_rows.astype(f32),
+        J=sa.J.astype(f32), n_slack=sa.n_slack,
+    )
+    P, h, lc, uc, lx, ux = (a.astype(f32) for a in (P, h, lc, uc, lx, ux))
+    settings = QPSettings(max_iter=700, rho_update_every=0)
+    ref = qs.solve_box_qp_structured(ocp, sa, P, h, lc, uc, lx, ux, settings)
+    got = solve_box_qp_structured_pallas(
+        ocp, sa, P, h, lc, uc, lx, ux, settings, lanes=8
+    )
+    assert bool(jnp.all(got.converged == ref.converged))
+    conv = np.asarray(ref.converged)
+    if conv.any():
+        # converged problems satisfy the same tolerance
+        Ax = np.einsum("bmn,bn->bm", np.asarray(A), np.asarray(got.x))
+        viol = np.maximum(Ax - np.asarray(uc), 0.0) + np.maximum(
+            np.asarray(lc) - Ax, 0.0
+        )
+        assert viol[conv].max() < 5e-3
+    np.testing.assert_allclose(
+        np.asarray(got.iterations), np.asarray(ref.iterations), atol=26
+    )
+
+
+def test_structured_pallas_batch_padding():
+    """B not a multiple of `lanes`: dummies are dropped, results match the
+    unpadded run."""
+    from mpc_motion_planner_tpu.ops.pallas.structured_admm import (
+        solve_box_qp_structured_pallas,
+    )
+
+    ocp, sa, A, P, h, lc, uc, lx, ux = _planner_qp_data(B=3, slack=True)
+    settings = QPSettings(max_iter=100, rho_update_every=0)
+    a = solve_box_qp_structured_pallas(
+        ocp, sa, P, h, lc, uc, lx, ux, settings, lanes=8
+    )
+    b = solve_box_qp_structured_pallas(
+        ocp, sa, P, h, lc, uc, lx, ux, settings, lanes=4
+    )
+    # unconverged f32 iterates accumulate reassociation noise over the 100
+    # iterations (lane-width-dependent reduction tiling) — agreement is
+    # up to that drift, not bitwise
+    np.testing.assert_allclose(
+        np.asarray(a.x), np.asarray(b.x), rtol=0, atol=5e-3
+    )
+    assert a.x.shape == (3, ocp.num_var + ocp.num_nodes)
