@@ -107,7 +107,8 @@ def _admm_kernel(
     mat_refs = refs[:n_mats]
     (
         P_ref, q_ref, lc_ref, uc_ref, lx_ref, ux_ref, rc_ref, rx_ref,
-        D_ref, E_ref, x0_ref, zc0_ref, zx0_ref, yc0_ref, yx0_ref, done0_ref,
+        D_ref, E_ref, sc_ref, x0_ref, zc0_ref, zx0_ref, yc0_ref, yx0_ref,
+        done0_ref,
         x_out, zc_out, zx_out, yc_out, yx_out, done_out, used_out,
     ) = refs[n_mats:]
 
@@ -118,6 +119,7 @@ def _admm_kernel(
     lx, ux = lx_ref[0], ux_ref[0]
     rc, rx = rc_ref[0], rx_ref[0]
     D, E = D_ref[0], E_ref[0]
+    thr = sc_ref[0] / rc  # soft-row shrink thresholds (hard rows: huge)
 
     prec = (
         jax.lax.Precision.DEFAULT
@@ -247,7 +249,11 @@ def _admm_kernel(
         # diverging problems, but consistency keeps the invariant local).
         x_new = ftz(alpha * xt + (1.0 - alpha) * x)
         zc_arg = alpha * zt_c + (1.0 - alpha) * zc
-        zc_new = ftz(jnp.clip(zc_arg + yc / rc, lc, uc))
+        # soft-row prox (qp._soft_prox): hard rows have thr ~1e20/rc, where
+        # the shrink clip never binds and this reduces to the box clip
+        vc = zc_arg + yc / rc
+        boxc = jnp.clip(vc, lc, uc)
+        zc_new = ftz(vc - jnp.clip(vc - boxc, -thr, thr))
         yc_new = ftz(yc + rc * (zc_arg - zc_new))
         zx_arg = alpha * xt + (1.0 - alpha) * zx
         zx_new = ftz(jnp.clip(zx_arg + yx / rx, lx, ux))
@@ -349,7 +355,8 @@ def admm_pallas_chunk(
     """Run one fused chunk of ADMM iterations.
 
     operands: dict with padded M_inv/A (B, PAD, PAD) f32 and (B, PAD)
-    vector P, q, lc, uc, lx, ux, rc, rx, D, E (all float32).
+    vector P, q, lc, uc, lx, ux, rc, rx, D, E, sc (all float32; sc =
+    scaled soft-row penalty weights, qp._HARD stand-in for hard rows).
     state: dict with x, zc, zx, yc, yx (B, PAD) and done (B, 1) int32.
     B must be a multiple of `group` (pad with done=1 dummies).
 
@@ -396,7 +403,7 @@ def admm_pallas_chunk(
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[mat_spec] * len(mats) + [vec_spec] * 15 + [scalar_spec],
+        in_specs=[mat_spec] * len(mats) + [vec_spec] * 16 + [scalar_spec],
         out_specs=(vec_spec,) * 5 + (scalar_spec, scalar_spec),
         out_shape=(vec_shape,) * 5 + (scalar_shape, scalar_shape),
         compiler_params=pltpu.CompilerParams(
@@ -420,6 +427,7 @@ def admm_pallas_chunk(
         as_vec(operands["rx"]),
         as_vec(operands["D"]),
         as_vec(operands["E"]),
+        as_vec(operands["sc"]),
         as_vec(state["x"]),
         as_vec(state["zc"]),
         as_vec(state["zx"]),

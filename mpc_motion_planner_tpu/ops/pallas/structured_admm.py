@@ -14,8 +14,8 @@ keeps its natural structure on the leading/sublane axes:
 
     Ldi   (N, blk, blk, L)   diagonal Cholesky-factor inverses
     Lsub  (bw, N, blk, blk, L) subdiagonal factor blocks
-    J     (N, ng, blk, L)    per-node inequality Jacobians (+slack col)
-    x     split into X (N, nx, L), U (N, nu, L), p (1, L), s (N, L)
+    J     (N, ng, blk, L)    per-node inequality Jacobians
+    x     split into X (N, nx, L), U (N, nu, L), p (1, L)
 
 Per-problem small linear algebra (banded triangular sweeps, the structured
 A/A^T applies) is broadcast-multiply-reduce over sublanes with all 128
@@ -46,12 +46,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..structure import StructuredA, _static_indices, apply_A
 from ..qp_structured import (
-    _ineq_J_hat,
     assemble_banded_M,
     factor_banded,
     ruiz_structured,
 )
-from ..qp import QPSettings, QPSolution, _rho_pattern
+from ..qp import _HARD, QPSettings, QPSolution, _rho_pattern
 
 f32 = jnp.float32
 
@@ -61,12 +60,12 @@ f32 = jnp.float32
 # ---------------------------------------------------------------------------
 
 
-def _geom(ocp, n_slack: int):
+def _geom(ocp):
     order, S = ocp.coll.order, ocp.coll.num_segments
     K = order + 1
     nodes = ocp.num_nodes
     nx, nu, nq, ng = ocp.nx, ocp.nu, ocp.nq, ocp.ng
-    blk = nx + nu + (1 if n_slack else 0)
+    blk = nx + nu
     seg_idx, first, second, valid2 = _static_indices(order, S)
     return dict(
         order=order, S=S, K=K, nodes=nodes, nx=nx, nu=nu, nq=nq, ng=ng,
@@ -79,29 +78,23 @@ def _geom(ocp, n_slack: int):
     )
 
 
-def _split_z(ocp, v, n_slack: int):
-    """z-layout (B, num_var + n_slack) -> dict of natural pieces."""
+def _split_z(ocp, v):
+    """z-layout (B, num_var) -> dict of natural pieces."""
     nodes, nx, nu = ocp.num_nodes, ocp.nx, ocp.nu
     B = v.shape[0]
-    out = dict(
+    return dict(
         X=v[:, : nodes * nx].reshape(B, nodes, nx),
         U=v[:, nodes * nx : nodes * (nx + nu)].reshape(B, nodes, nu),
         p=v[:, nodes * (nx + nu) : nodes * (nx + nu) + 1],
     )
-    out["s"] = (
-        v[:, ocp.num_var :]
-        if n_slack
-        else jnp.zeros((B, 0), v.dtype)
-    )
-    return out
 
 
-def _join_z(ocp, pieces, n_slack: int):
+def _join_z(ocp, pieces):
     B = pieces["X"].shape[0]
-    parts = [pieces["X"].reshape(B, -1), pieces["U"].reshape(B, -1), pieces["p"]]
-    if n_slack:
-        parts.append(pieces["s"])
-    return jnp.concatenate(parts, axis=-1)
+    return jnp.concatenate(
+        [pieces["X"].reshape(B, -1), pieces["U"].reshape(B, -1), pieces["p"]],
+        axis=-1,
+    )
 
 
 def _split_m(ocp, w):
@@ -124,13 +117,14 @@ def _join_m(ocp, eq, g):
 
 # Ordered operand names (all lane-major, leading block dim 1).
 _X_OPS = ("qs", "Ps", "rx", "lxs", "uxs", "D", "x0", "zx0", "yx0")
-_M_OPS = ("rc", "lcs", "ucs", "E", "zc0", "yc0")
+# thr: per-row soft-l1 shrink thresholds soft_s / rc (qp._soft_prox);
+# hard rows carry the huge finite stand-in and reduce to the box clip.
+_M_OPS = ("rc", "lcs", "ucs", "E", "thr", "zc0", "yc0")
 
 
 def _structured_kernel(
     *refs,
     g: dict,
-    n_slack: int,
     max_iter: int,
     check_every: int,
     eps_abs: float,
@@ -161,7 +155,6 @@ def _structured_kernel(
     xop = {}
     for name in _X_OPS:
         xop[name] = dict(X=take(), U=take(), p=take())
-        xop[name]["s"] = take() if n_slack else None
     mop = {name: dict(eq=take(), g=take()) for name in _M_OPS}
     done0 = take()  # (1, L) int32
     outs = list(it)
@@ -170,9 +163,7 @@ def _structured_kernel(
     ftz = lambda v: jnp.clip(jnp.where(jnp.abs(v) < 1e-30, 0.0, v), -1e15, 1e15)
 
     def xmap(fn, *dicts):
-        out = {k: fn(*(d[k] for d in dicts)) for k in ("X", "U", "p")}
-        out["s"] = fn(*(d["s"] for d in dicts)) if n_slack else None
-        return out
+        return {k: fn(*(d[k] for d in dicts)) for k in ("X", "U", "p")}
 
     def mmap(fn, *dicts):
         return {k: fn(*(d[k] for d in dicts)) for k in ("eq", "g")}
@@ -184,8 +175,6 @@ def _structured_kernel(
             jnp.max(jnp.max(d["U"], axis=0), axis=0, keepdims=True),
         )
         m = jnp.maximum(m, d["p"])
-        if n_slack:
-            m = jnp.maximum(m, jnp.max(d["s"], axis=0, keepdims=True))
         return m
 
     def mmax(d):
@@ -217,10 +206,8 @@ def _structured_kernel(
             [vX_seg[:, nq:, :], vU_seg], axis=1
         )  # (S*K, nx, L)
         eq = dX - p_t[None] * f_lin_seg - f_seg * vp[None]
-        # inequality rows: J blocks over [X; U; s]
-        vn = jnp.concatenate(
-            [vX, vU] + ([v["s"][:, None, :]] if n_slack else []), axis=1
-        )  # (N, blk, L)
+        # inequality rows: J blocks over [X; U]
+        vn = jnp.concatenate([vX, vU], axis=1)  # (N, blk, L)
         gg = jnp.sum(Jt * vn[:, None, :, :], axis=2)  # (N, ng, L)
         return dict(eq=eq, g=gg)
 
@@ -258,10 +245,7 @@ def _structured_kernel(
         X_out = X_out + vn[:, :nx, :]
         U_out = U_out + vn[:, nx : nx + nu, :]
         p_out = -jnp.sum(jnp.sum(f_seg * w_eq, axis=0), axis=0, keepdims=True)
-        out = dict(X=X_out, U=U_out, p=p_out)
-        if n_slack:
-            out["s"] = vn[:, nx + nu, :]
-        return out
+        return dict(X=X_out, U=U_out, p=p_out)
 
     # Ruiz-scaled operator (identical to the XLA structured path's
     # matA/matAT closures): E A D and D A^T E.
@@ -282,16 +266,10 @@ def _structured_kernel(
     # ---- node blocks <-> x-split ----
 
     def to_blocks(v):
-        parts = [v["X"], v["U"]]
-        if n_slack:
-            parts.append(v["s"][:, None, :])
-        return jnp.concatenate(parts, axis=1)  # (N, blk, L)
+        return jnp.concatenate([v["X"], v["U"]], axis=1)  # (N, blk, L)
 
     def from_blocks(b, vp):
-        out = dict(X=b[:, :nx, :], U=b[:, nx : nx + nu, :], p=vp)
-        if n_slack:
-            out["s"] = b[:, nx + nu, :]
-        return out
+        return dict(X=b[:, :nx, :], U=b[:, nx : nx + nu, :], p=vp)
 
     def banded_solve_t(r):
         """(N, blk, L) solve with the lane-major banded factors."""
@@ -388,9 +366,15 @@ def _structured_kernel(
 
         x_new = xmap(lambda a, b: ftz(alpha * a + (1 - alpha) * b), xt, x)
         zc_arg = mmap(lambda a, b: alpha * a + (1 - alpha) * b, zt_c, zc)
+
+        def soft_upd(za, y, r, lo, hi, t):
+            v = za + y / r
+            box = jnp.clip(v, lo, hi)
+            return ftz(v - jnp.clip(v - box, -t, t))
+
         zc_new = mmap(
-            lambda za, y, r, lo, hi: ftz(jnp.clip(za + y / r, lo, hi)),
-            zc_arg, yc, mop["rc"], mop["lcs"], mop["ucs"],
+            soft_upd,
+            zc_arg, yc, mop["rc"], mop["lcs"], mop["ucs"], mop["thr"],
         )
         yc_new = mmap(
             lambda y, r, za, zn: ftz(y + r * (za - zn)),
@@ -454,11 +438,11 @@ def _structured_kernel(
 
     zeros = jnp.zeros((1, L), f32)
     state0 = (
-        {k: xop["x0"][k] for k in ("X", "U", "p", "s")},
+        {k: xop["x0"][k] for k in ("X", "U", "p")},
         {k: mop["zc0"][k] for k in ("eq", "g")},
-        {k: xop["zx0"][k] for k in ("X", "U", "p", "s")},
+        {k: xop["zx0"][k] for k in ("X", "U", "p")},
         {k: mop["yc0"][k] for k in ("eq", "g")},
-        {k: xop["yx0"][k] for k in ("X", "U", "p", "s")},
+        {k: xop["yx0"][k] for k in ("X", "U", "p")},
         done0,
         jnp.zeros((1, L), jnp.int32),
         zeros,
@@ -476,18 +460,12 @@ def _structured_kernel(
 
     for piece in ("X", "U", "p"):
         put(x[piece])
-    if n_slack:
-        put(x["s"])
     put(zc["eq"]); put(zc["g"])
     for piece in ("X", "U", "p"):
         put(zx[piece])
-    if n_slack:
-        put(zx["s"])
     put(yc["eq"]); put(yc["g"])
     for piece in ("X", "U", "p"):
         put(yx[piece])
-    if n_slack:
-        put(yx["s"])
     put(done)
     put(iters)
     put(rp)
@@ -522,11 +500,13 @@ def solve_box_qp_structured_pallas(
     x0=None,
     yc0=None,
     yx0=None,
+    soft_c=None,
     lanes: int = 128,
 ) -> QPSolution:
     """Fused-kernel counterpart of qp_structured.solve_box_qp_structured.
 
-    Same problem/solution semantics with two restrictions (both the
+    Same problem/solution semantics (including the optional soft-row l1
+    weights soft_c, see qp._soft_prox) with two restrictions (both the
     production configuration): rho is fixed for the whole solve
     (rho_update_every is ignored) and P must be diagonal.
     """
@@ -536,12 +516,13 @@ def solve_box_qp_structured_pallas(
         )
     with jax.default_matmul_precision("highest"):
         return _solve_impl(
-            ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0, lanes
+            ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0,
+            soft_c, lanes,
         )
 
 
 def _solve_impl(
-    ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0, lanes
+    ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c, lanes
 ):
     B, n = q.shape
     m = lc.shape[1]
@@ -558,10 +539,8 @@ def _solve_impl(
         p=sa.p.astype(dt),
         f_rows=sa.f_rows.astype(dt),
         J=sa.J.astype(dt),
-        n_slack=sa.n_slack,
     )
-    n_slack = sa.n_slack
-    g = _geom(ocp, n_slack)
+    g = _geom(ocp)
     K, nx, nodes = g["K"], g["nx"], g["nodes"]
 
     # ---- Ruiz + scaling (identical to the XLA structured path) ----
@@ -586,6 +565,13 @@ def _solve_impl(
     pat_x = _rho_pattern(lx, ux, settings)
     rc = settings.rho * pat_c
     rx = settings.rho * pat_x
+    # soft-row shrink thresholds (rho is fixed for the kernel's duration,
+    # so thr = soft_s / rc is a constant operand)
+    if soft_c is None:
+        thr = jnp.full((B, m), _HARD, dt) / rc
+    else:
+        soft_c = soft_c.astype(dt)
+        thr = jnp.where(soft_c > 0, soft_c / E, _HARD) / rc
 
     # ---- banded factorization (node-level, kernel form) ----
     w = E * E * rc
@@ -616,7 +602,7 @@ def _solve_impl(
             [a, jnp.full((Bp - B, *a.shape[1:]), fill, a.dtype)], axis=0
         )
 
-    Jt = _ineq_J_hat(ocp, sa, dt)  # (B, nodes, ng, blk)
+    Jt = sa.J  # (B, nodes, ng, blk)
     f_seg = sa.f_rows.reshape(B, -1, nx)
 
     cl = functools.partial(_chunk_lane_major, nb=nb, lanes=lanes)
@@ -636,12 +622,10 @@ def _solve_impl(
     # divide-safe padding for scale-like operands
     fills = dict(rx=1.0, D=1.0, uxs=1.0, lxs=-1.0)
     for name in _X_OPS:
-        pieces = _split_z(ocp, pad(xvals[name], fills.get(name, 0.0)), n_slack)
+        pieces = _split_z(ocp, pad(xvals[name], fills.get(name, 0.0)))
         operands += [cl(pieces["X"]), cl(pieces["U"]), cl(pieces["p"])]
-        if n_slack:
-            operands.append(cl(pieces["s"]))
-    mvals = dict(rc=rc, lcs=lcs, ucs=ucs, E=E, zc0=zc, yc0=yc)
-    mfills = dict(rc=1.0, E=1.0, ucs=1.0, lcs=-1.0)
+    mvals = dict(rc=rc, lcs=lcs, ucs=ucs, E=E, thr=thr, zc0=zc, yc0=yc)
+    mfills = dict(rc=1.0, E=1.0, ucs=1.0, lcs=-1.0, thr=1.0)
     for name in _M_OPS:
         eqp, gp = _split_m(ocp, pad(mvals[name], mfills.get(name, 0.0)))
         operands += [cl(eqp), cl(gp)]
@@ -657,11 +641,11 @@ def _solve_impl(
 
     in_specs = [spec(a) for a in operands]
 
-    # outputs: x(3/4), zc(2), zx(3/4), yc(2), yx(3/4), done, iters, rp, rd
-    npc = 4 if n_slack else 3
+    # outputs: x(3), zc(2), zx(3), yc(2), yx(3), done, iters, rp, rd
+    npc = 3
     x_shapes = [
         (nodes, nx, lanes), (nodes, g["nu"], lanes), (1, lanes),
-    ] + ([(nodes, lanes)] if n_slack else [])
+    ]
     m_shapes = [(g["S"] * K, nx, lanes), (nodes, g["ng"], lanes)]
     out_shapes = (
         x_shapes + m_shapes + x_shapes + m_shapes + x_shapes
@@ -681,7 +665,6 @@ def _solve_impl(
     kernel = functools.partial(
         _structured_kernel,
         g=g,
-        n_slack=n_slack,
         max_iter=settings.max_iter,
         check_every=settings.check_every,
         eps_abs=settings.eps_abs,
@@ -707,8 +690,7 @@ def _solve_impl(
 
     def takex():
         d = dict(X=_unchunk(next(o)), U=_unchunk(next(o)), p=_unchunk(next(o)))
-        d["s"] = _unchunk(next(o)) if n_slack else jnp.zeros((Bp, 0), dt)
-        return _join_z(ocp, d, n_slack)[:B]
+        return _join_z(ocp, d)[:B]
 
     def takem():
         return _join_m(ocp, _unchunk(next(o)), _unchunk(next(o)))[:B]

@@ -134,6 +134,30 @@ def _rho_pattern(lb, ub, settings: QPSettings):
     return jnp.where(eq, settings.rho_eq_scale, 1.0).astype(lb.dtype)
 
 
+# Finite stand-in for "hard row" in the soft-threshold array: a normal f32
+# (not inf — inf operands route TPU elementwise ops through the microcoded
+# special-value slow path, see ops/pallas/admm_kernel.py).
+_HARD = 1e20
+
+
+def _soft_prox(v, lb, ub, thr):
+    """Prox of thr-scaled l1 box-distance: the z-update for SOFT rows.
+
+    Solves  min_z  w*dist_[lb,ub](z) + (rho/2)(z - v)^2  with thr = w/rho:
+    inside the box -> v; outside -> shrink toward the box by thr, saturating
+    at the box edge. thr = _HARD/rho reduces exactly to jnp.clip(v, lb, ub)
+    (hard projection): the shrink is never clipped for any representable v.
+
+    This is the slack-free form of an exact l1 elastic: a row with penalty
+    weight w behaves identically to adding slack variables s+/s- >= 0 with
+    linear cost w (tests/test_qp.py oracle), and the row's dual is
+    automatically bounded by w — infeasible QPs can no longer blow up the
+    ADMM duals of soft rows.
+    """
+    box = jnp.clip(v, lb, ub)
+    return v - jnp.clip(v - box, -thr, thr)
+
+
 def _pmul(Ps, x):
     """P @ x for diagonal (B, n) or dense (B, n, n) P."""
     if Ps.ndim == 3:
@@ -162,7 +186,7 @@ def _ruiz_equilibrate(A, iters: int):
 
 
 def _solve_pallas(
-    As, Ps, qs, lcs, ucs, lxs, uxs, pat_c, pat_x, rho0, D, E,
+    As, Ps, qs, lcs, ucs, lxs, uxs, pat_c, pat_x, soft_s, rho0, D, E,
     factor, M_inv0, x, yc, yx, settings: QPSettings, dt,
 ) -> QPSolution:
     """Chunked fused-kernel path: VMEM-resident iteration chunks with
@@ -215,6 +239,7 @@ def _solve_pallas(
         "ux": bp_vec(pk.pad_vec(finite(uxs))),
         "D": bp_vec_ones(pk.pad_vec_ones(to32(D))),
         "E": bp_vec_ones(pk.pad_vec_ones(to32(E))),
+        "sc": bp_vec_ones(pk.pad_vec_ones(to32(soft_s))),
     }
     rho_s = rho0
 
@@ -326,6 +351,7 @@ def solve_box_qp(
     x0=None,
     yc0=None,
     yx0=None,
+    soft_c=None,
 ) -> QPSolution:
     """Solve a batch of box QPs:  min 1/2 x^T P x + q^T x
     s.t. lc <= A x <= uc,  lx <= x <= ux.
@@ -336,6 +362,13 @@ def solve_box_qp(
     UNSCALED units; termination residuals are evaluated in unscaled units
     as well, so eps_abs/eps_rel retain their reference meaning under
     equilibration.
+
+    soft_c: optional (B, m) per-row l1 penalty weights. Rows with
+    soft_c > 0 are SOFT: their box may be violated at linear cost
+    soft_c[i] per unit (exact l1 elastic, implemented as a prox in the
+    z-update — see :func:`_soft_prox`); rows with 0 stay hard. Soft-row
+    duals are bounded by their weight, so primal-infeasible QPs cannot
+    diverge through those rows.
     """
     B, m, n = A.shape
     dt = q.dtype
@@ -362,12 +395,12 @@ def solve_box_qp(
     # for everything traced inside the solver.
     with jax.default_matmul_precision("highest"):
         return _solve_box_qp_impl(
-            P_diag, q, A, lc, uc, lx, ux, settings, x0, yc0, yx0
+            P_diag, q, A, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c
         )
 
 
 def _solve_box_qp_impl(
-    P_diag, q, A, lc, uc, lx, ux, settings, x0, yc0, yx0
+    P_diag, q, A, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c=None
 ) -> QPSolution:
     B, m, n = A.shape
     dt = q.dtype
@@ -390,6 +423,12 @@ def _solve_box_qp_impl(
 
     pat_c = _rho_pattern(lc, uc, settings)  # (B, m)
     pat_x = _rho_pattern(lx, ux, settings)  # (B, n)
+    # scaled soft-row penalty weights (hard rows get the finite stand-in)
+    if soft_c is None:
+        soft_s = jnp.full((B, m), _HARD, dt)
+    else:
+        soft_c = soft_c.astype(dt)
+        soft_s = jnp.where(soft_c > 0, soft_c / E, _HARD)
     sigma = jnp.asarray(settings.sigma, dt)
     alpha = jnp.asarray(settings.alpha, dt)
     rho0 = jnp.full((B,), settings.rho, dt)
@@ -432,7 +471,7 @@ def _solve_box_qp_impl(
 
     if settings.backend == "pallas":
         return _solve_pallas(
-            As, Ps, qs, lcs, ucs, lxs, uxs, pat_c, pat_x, rho0, D, E,
+            As, Ps, qs, lcs, ucs, lxs, uxs, pat_c, pat_x, soft_s, rho0, D, E,
             factor, M_inv0, x, yc, yx, settings, dt,
         )
     zc = jnp.clip(jnp.einsum("bmn,bn->bm", As, x), lcs, ucs)
@@ -496,7 +535,7 @@ def _solve_box_qp_impl(
 
         x_new = alpha * xt + (1.0 - alpha) * x
         zc_arg = alpha * zt_c + (1.0 - alpha) * zc
-        zc_new = jnp.clip(zc_arg + yc / rc, lcs, ucs)
+        zc_new = _soft_prox(zc_arg + yc / rc, lcs, ucs, soft_s / rc)
         yc_new = yc + rc * (zc_arg - zc_new)
         zx_arg = alpha * xt + (1.0 - alpha) * zx
         zx_new = jnp.clip(zx_arg + yx / rx, lxs, uxs)

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .qp import QPSettings, QPSolution, _rho_pattern
+from .qp import _HARD, QPSettings, QPSolution, _rho_pattern, _soft_prox
 from .structure import StructuredA, _static_indices, apply_A, apply_AT
 
 
@@ -64,42 +64,28 @@ def _node_cover(order: int, num_segments: int):
     return sA, lA, sB, lB, valid2.astype(np.float64)
 
 
-def _split_node_major(ocp, v, n_slack: int):
-    """(B, num_var + n_slack) z-layout -> ((B, nodes, blk), (B,) p)."""
+def _split_node_major(ocp, v):
+    """(B, num_var) z-layout -> ((B, nodes, blk=nx+nu), (B,) p)."""
     _, _, nodes, nx, nu, _, _ = _dims(ocp)
     B = v.shape[0]
     X = v[:, : nodes * nx].reshape(B, nodes, nx)
     U = v[:, nodes * nx : nodes * (nx + nu)].reshape(B, nodes, nu)
     p = v[:, nodes * (nx + nu)]
-    parts = [X, U]
-    if n_slack:
-        parts.append(v[:, ocp.num_var :].reshape(B, nodes, 1))
-    return jnp.concatenate(parts, axis=-1), p
+    return jnp.concatenate([X, U], axis=-1), p
 
 
-def _join_node_major(ocp, vb, vp, n_slack: int):
+def _join_node_major(ocp, vb, vp):
     """Inverse of :func:`_split_node_major`."""
     _, _, nodes, nx, nu, _, _ = _dims(ocp)
     B = vb.shape[0]
-    parts = [
-        vb[..., :nx].reshape(B, -1),
-        vb[..., nx : nx + nu].reshape(B, -1),
-        vp[:, None],
-    ]
-    if n_slack:
-        parts.append(vb[..., nx + nu].reshape(B, -1))
-    return jnp.concatenate(parts, axis=-1)
-
-
-def _ineq_J_hat(ocp, sa: StructuredA, dtype):
-    """Per-node inequality Jacobian extended with the elastic slack column:
-    (B, nodes, ng, blk). The slack enters each node's height row with
-    coefficient 1 (ops/sqp.py's l1 relaxation)."""
-    if not sa.n_slack:
-        return sa.J
-    B, nodes, ng, _ = sa.J.shape
-    s_col = jnp.zeros((B, nodes, ng, 1), dtype).at[:, :, ng - 1, 0].set(1.0)
-    return jnp.concatenate([sa.J, s_col], axis=-1)
+    return jnp.concatenate(
+        [
+            vb[..., :nx].reshape(B, -1),
+            vb[..., nx : nx + nu].reshape(B, -1),
+            vp[:, None],
+        ],
+        axis=-1,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -112,11 +98,11 @@ def ruiz_structured(ocp, sa: StructuredA, iters: int):
 
     Same sweep as qp._ruiz_equilibrate (col/row inf-norms of the scaled
     E A D, D *= 1/sqrt(colnorm), E *= 1/sqrt(rownorm)) without ever
-    materializing A. Returns (D (B, n + n_slack), E (B, m))."""
+    materializing A. Returns (D (B, n), E (B, m))."""
     order, S, nodes, nx, nu, ng, num_eq = _dims(ocp)
     K = order + 1
     nq = ocp.nq
-    blk = nx + nu + (1 if sa.n_slack else 0)
+    blk = nx + nu
     B = sa.p.shape[0]
     dt = sa.f_rows.dtype
 
@@ -129,7 +115,7 @@ def ruiz_structured(ocp, sa: StructuredA, iters: int):
     absDm = jnp.abs(ocp.coll.diff_matrix).astype(dt)  # (K, K)
     p = jnp.abs(sa.p)
     absf = jnp.abs(sa.f_rows).reshape(B, S, K, nx)
-    absJ = jnp.abs(_ineq_J_hat(ocp, sa, dt))  # (B, nodes, ng, blk)
+    absJ = jnp.abs(sa.J).astype(dt)  # (B, nodes, ng, blk)
 
     d_nodes = jnp.ones((B, nodes, blk), dt)
     d_p = jnp.ones((B,), dt)
@@ -189,7 +175,7 @@ def ruiz_structured(ocp, sa: StructuredA, iters: int):
         e_eq = e_eq * scale(r_eq)
         e_g = e_g * scale(r_g)
 
-    D = _join_node_major(ocp, d_nodes, d_p, sa.n_slack)
+    D = _join_node_major(ocp, d_nodes, d_p)
     E = jnp.concatenate(
         [e_eq.reshape(B, num_eq), e_g.reshape(B, -1)], axis=-1
     )
@@ -213,8 +199,8 @@ def assemble_banded_M(ocp, sa: StructuredA, w_eq, w_g, D, sig):
     ordering, plus the p arrow column.
 
     w_eq (B, S, K, nx), w_g (B, nodes, ng): per-row weights E^2 * rho.
-    D (B, n + n_slack), sig (B, n + n_slack + ... ) scaled diagonal
-    (P_s + sigma + rho_x), both in z-layout.
+    D (B, n), sig (B, n) scaled diagonal (P_s + sigma + rho_x), both in
+    z-layout.
 
     Returns (Mband, p_col, m_pp): Mband[b, k, d] = block M[node k+d, node
     k] (lower band, d = 0..order; d=0 blocks stored full-symmetric),
@@ -223,7 +209,7 @@ def assemble_banded_M(ocp, sa: StructuredA, w_eq, w_g, D, sig):
     order, S, nodes, nx, nu, ng, num_eq = _dims(ocp)
     K = order + 1
     nq = ocp.nq
-    blk = nx + nu + (1 if sa.n_slack else 0)
+    blk = nx + nu
     bw = order
     B = sa.p.shape[0]
     dt = w_eq.dtype
@@ -234,8 +220,8 @@ def assemble_banded_M(ocp, sa: StructuredA, w_eq, w_g, D, sig):
     xdim = np.arange(nx)
     vdim = xdim + nq  # V(row dim i) lives at node-major dim i + nq
 
-    d_nodes, d_p = _split_node_major(ocp, D, sa.n_slack)
-    sig_nodes, sig_p = _split_node_major(ocp, sig, sa.n_slack)
+    d_nodes, d_p = _split_node_major(ocp, D)
+    sig_nodes, sig_p = _split_node_major(ocp, sig)
 
     Mband = jnp.zeros((B, nodes, bw + 1, blk, blk), dt)
 
@@ -279,10 +265,10 @@ def assemble_banded_M(ocp, sa: StructuredA, w_eq, w_g, D, sig):
             _place(T3[:, :, k, :], vdim, vdim, blk)
         )
 
-    # (d) inequality rows: per-node J^T diag(w_g) J (includes slack col)
-    Jhat = _ineq_J_hat(ocp, sa, dt)
+    # (d) inequality rows: per-node J^T diag(w_g) J
+    J = sa.J.astype(dt)
     Mband = Mband.at[:, :, 0].add(
-        jnp.einsum("bngc,bng,bnge->bnce", Jhat, w_g, Jhat)
+        jnp.einsum("bngc,bng,bnge->bnce", J, w_g, J)
     )
 
     # ---- column scaling by D (rows of block d live on node k+d) ----
@@ -451,17 +437,17 @@ def factor_arrow(Mband, p_col, m_pp, bw: int):
     return jax.lax.cond(jnp.all(finite), lambda _: fac, retry, None)
 
 
-def solve_arrow(ocp, fac, bw: int, rhs, n_slack: int):
-    """Solve M x = rhs (z-layout rhs (B, n + n_slack)) with the factored
-    banded + arrow system."""
-    r_b, r_p = _split_node_major(ocp, rhs, n_slack)
+def solve_arrow(ocp, fac, bw: int, rhs):
+    """Solve M x = rhs (z-layout rhs (B, n)) with the factored banded +
+    arrow system."""
+    r_b, r_p = _split_node_major(ocp, rhs)
     B, N, blk = r_b.shape
     G = fac["Ld_inv"].shape[1]
     rg = _pad_groups(r_b, G)
     t = _tridiag_solve(fac["Ld_inv"], fac["Lc"], rg)
     z_p = (r_p - jnp.sum(fac["u"] * rg, axis=(1, 2))) / fac["s"]
     z_b = (t - fac["u"] * z_p[:, None, None]).reshape(B, G * _GROUP, blk)[:, :N]
-    return _join_node_major(ocp, z_b, z_p, n_slack)
+    return _join_node_major(ocp, z_b, z_p)
 
 
 # ---------------------------------------------------------------------------
@@ -572,13 +558,13 @@ def factor_banded(Mband, p_col, m_pp, bw: int):
     return jax.lax.cond(jnp.all(finite), lambda _: fac, retry, None)
 
 
-def solve_arrow_banded(ocp, fac, rhs, n_slack: int):
+def solve_arrow_banded(ocp, fac, rhs):
     """Solve M x = rhs with the node-level banded + arrow factors."""
-    r_b, r_p = _split_node_major(ocp, rhs, n_slack)
+    r_b, r_p = _split_node_major(ocp, rhs)
     t = banded_solve(fac["Ldi"], fac["Lsub"], r_b)
     z_p = (r_p - jnp.sum(fac["u"] * r_b, axis=(1, 2))) / fac["s"]
     z_b = t - fac["u"] * z_p[:, None, None]
-    return _join_node_major(ocp, z_b, z_p, n_slack)
+    return _join_node_major(ocp, z_b, z_p)
 
 
 
@@ -601,25 +587,27 @@ def solve_box_qp_structured(
     x0=None,
     yc0=None,
     yx0=None,
+    soft_c=None,
 ) -> QPSolution:
     """Matrix-free counterpart of qp.solve_box_qp for the transcribed-OCP
-    constraint operator. Same problem, settings and solution semantics;
+    constraint operator. Same problem, settings and solution semantics
+    (including the optional soft-row l1 weights soft_c, qp._soft_prox);
     `A` is given structurally (sa) instead of densely."""
     with jax.default_matmul_precision("highest"):
         return _solve_structured_impl(
-            ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0
+            ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0,
+            soft_c,
         )
 
 
 def _solve_structured_impl(
-    ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0
+    ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c=None
 ) -> QPSolution:
     B, n = q.shape
     m = lc.shape[1]
     dt = q.dtype
     order = ocp.coll.order
     bw = order
-    n_slack = sa.n_slack
     nodes = ocp.num_nodes
     K = order + 1
     nx = ocp.nx
@@ -639,6 +627,11 @@ def _solve_structured_impl(
 
     pat_c = _rho_pattern(lc, uc, settings)
     pat_x = _rho_pattern(lx, ux, settings)
+    if soft_c is None:
+        soft_s = jnp.full((B, m), _HARD, dt)
+    else:
+        soft_c = soft_c.astype(dt)
+        soft_s = jnp.where(soft_c > 0, soft_c / E, _HARD)
     sigma = jnp.asarray(settings.sigma, dt)
     alpha = jnp.asarray(settings.alpha, dt)
     rho0 = jnp.full((B,), settings.rho, dt)
@@ -713,15 +706,15 @@ def _solve_structured_impl(
         rc = rho_s[:, None] * pat_c
         rx = rho_s[:, None] * pat_x
         rhs = sigma * x - qs + matAT(rc * zc - yc) + (rx * zx - yx)
-        xt = solve_arrow(ocp, fac, bw, rhs, n_slack)
+        xt = solve_arrow(ocp, fac, bw, rhs)
         for _ in range(settings.kkt_refine):
             Mxt = (Ps + sigma + rx) * xt + matAT(rc * matA(xt))
-            xt = xt + solve_arrow(ocp, fac, bw, rhs - Mxt, n_slack)
+            xt = xt + solve_arrow(ocp, fac, bw, rhs - Mxt)
         zt_c = matA(xt)
 
         x_new = alpha * xt + (1.0 - alpha) * x
         zc_arg = alpha * zt_c + (1.0 - alpha) * zc
-        zc_new = jnp.clip(zc_arg + yc / rc, lcs, ucs)
+        zc_new = _soft_prox(zc_arg + yc / rc, lcs, ucs, soft_s / rc)
         yc_new = yc + rc * (zc_arg - zc_new)
         zx_arg = alpha * xt + (1.0 - alpha) * zx
         zx_new = jnp.clip(zx_arg + yx / rx, lxs, uxs)

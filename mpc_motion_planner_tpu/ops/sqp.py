@@ -46,18 +46,22 @@ class SQPSettings:
     eta: float = dataclasses.field(default=0.25, metadata={"static": True})
     # Gershgorin shift applied to the (zero) Lagrangian Hessian diagonal
     reg_eps: float = dataclasses.field(default=0.01, metadata={"static": True})
-    # l1 elastic relaxation of the height inequality rows: each node's
-    # height row gets a nonnegative slack with linear cost `slack_penalty`.
-    # Warm-start paths that dip the tool below the table otherwise make the
-    # linearized QP primal-infeasible (pinned boundary states + defect rows
-    # conflict with the height rows), the ADMM duals diverge and the SQP
-    # step is useless — a failure mode the reference shares. With an exact
-    # l1 penalty (mu larger than the height rows' optimal duals) the slacks
-    # are zero whenever the QP is feasible, so feasible solves are
-    # unchanged. 0 disables (reference behavior). Keep mu moderate: large
-    # penalties (>=100) wreck the ADMM scaling and blow up its iteration
-    # counts (measured: mu=10 cuts the worst-case violation 182 -> 1.4 with
-    # unchanged medians; mu=100 doubles median violation).
+    # l1 elastic relaxation of the nonlinear inequality rows (all ng rows
+    # per node: torque + height): each row may be violated in the QP at
+    # linear cost `slack_penalty` per unit, implemented slack-free as a
+    # prox in the ADMM z-update (qp._soft_prox). Warm-start paths that dip
+    # the tool below the table otherwise make the linearized QP
+    # primal-infeasible (pinned boundary states + defect rows conflict
+    # with the height rows), the ADMM duals diverge and the SQP step is
+    # useless — a failure mode the reference shares. An exact l1 penalty
+    # (mu larger than the rows' optimal duals — measured row duals on the
+    # chained workload stay well under 1) leaves feasible solves
+    # unchanged while bounding every soft row's dual by mu. 0 disables
+    # (reference behavior). Round 1 implemented this with explicit slack
+    # VARIABLES on the height rows only; the prox form extends it to the
+    # torque rows with zero extra state and no effect on the Ruiz scaling
+    # (the old slack columns entered A and degraded it: mu=100 doubled
+    # median violation; the prox threshold never touches A).
     slack_penalty: float = dataclasses.field(default=10.0, metadata={"static": True})
 
 
@@ -187,17 +191,15 @@ def _sqp_solve_impl(
     lb_g = jnp.broadcast_to(bounds.lb_ineq, (B, ocp.num_ineq))
     ub_g = jnp.broadcast_to(bounds.ub_ineq, (B, ocp.num_ineq))
 
-    # ---- elastic height rows: one slack column per node (see SQPSettings)
-    n_s = ocp.num_nodes if settings.slack_penalty > 0 else 0
-    if n_s:
-        ng = ocp.ng
-        h_rows = ocp.num_eq + (jnp.arange(n_s) + 1) * ng - 1  # height rows
-        S_cols = (
-            jnp.zeros((m, n_s), dt).at[h_rows, jnp.arange(n_s)].set(1.0)
+    # ---- l1 elastic (soft) nonlinear inequality rows (see SQPSettings):
+    # equality/defect rows stay hard, every per-node constraint row gets
+    # the slack-free prox relaxation with weight slack_penalty.
+    if settings.slack_penalty > 0:
+        soft_c = jnp.zeros((B, m), dt).at[:, ocp.num_eq :].set(
+            settings.slack_penalty
         )
-        S_cols = jnp.broadcast_to(S_cols, (B, m, n_s))
-        mu_s = jnp.asarray(settings.slack_penalty, dt)
-        inf = jnp.asarray(jnp.inf, dt)
+    else:
+        soft_c = None
 
     structured = qp_settings.backend in ("structured", "structured_pallas")
     if qp_settings.backend == "structured_pallas":
@@ -213,7 +215,7 @@ def _sqp_solve_impl(
         g = jax.vmap(ocp.ineq_residual)(z)  # (B, num_ineq)
         if structured:
             # matrix-free: A is never materialized (ops/structure.py)
-            sa = build_structured_A(ocp, z, n_slack=n_s)
+            sa = build_structured_A(ocp, z)
         else:
             A = jax.vmap(ocp.constraint_matrix)(z)  # (B, m, n)
         h = jax.vmap(ocp.cost_gradient)(z)  # (B, n)
@@ -226,44 +228,23 @@ def _sqp_solve_impl(
                 hessian_fn(z, lam_c), settings.reg_eps
             )
 
-        # ---- QP subproblem over the step d (+ elastic slacks) ----
+        # ---- QP subproblem over the step d (soft nonlinear rows) ----
         lc = jnp.concatenate([-c_eq, lb_g - g], axis=-1)
         uc = jnp.concatenate([-c_eq, ub_g - g], axis=-1)
         lx = lb_var - z
         ux = ub_var - z
-        if n_s:
-            if P_diag.ndim == 3:  # dense Hessian: block-diag slack extension
-                sdiag = jnp.arange(n, n + n_s)
-                P_qp = (
-                    jnp.zeros((B, n + n_s, n + n_s), dt)
-                    .at[:, :n, :n]
-                    .set(P_diag)
-                    .at[:, sdiag, sdiag]
-                    .set(settings.reg_eps)
-                )
-            else:
-                P_qp = jnp.concatenate(
-                    [P_diag, jnp.full((B, n_s), settings.reg_eps, dt)], axis=-1
-                )
-            h_qp = jnp.concatenate([h, jnp.full((B, n_s), mu_s)], axis=-1)
-            lx_qp = jnp.concatenate([lx, jnp.zeros((B, n_s), dt)], axis=-1)
-            ux_qp = jnp.concatenate([ux, jnp.full((B, n_s), inf)], axis=-1)
-            yx0_qp = jnp.concatenate([lam_x, jnp.zeros((B, n_s), dt)], axis=-1)
-        else:
-            P_qp, h_qp, lx_qp, ux_qp, yx0_qp = P_diag, h, lx, ux, lam_x
         if structured:
             qp: QPSolution = structured_solver(
-                ocp, sa, P_qp, h_qp, lc, uc, lx_qp, ux_qp, qp_settings,
-                yc0=lam_c, yx0=yx0_qp,
+                ocp, sa, P_diag, h, lc, uc, lx, ux, qp_settings,
+                yc0=lam_c, yx0=lam_x, soft_c=soft_c,
             )
         else:
-            A_qp = jnp.concatenate([A, S_cols], axis=-1) if n_s else A
             qp = solve_box_qp(
-                P_qp, h_qp, A_qp, lc, uc, lx_qp, ux_qp, qp_settings,
-                yc0=lam_c, yx0=yx0_qp,
+                P_diag, h, A, lc, uc, lx, ux, qp_settings,
+                yc0=lam_c, yx0=lam_x, soft_c=soft_c,
             )
-        d = qp.x[:, :n]
-        y_box = qp.y_box[:, :n]
+        d = qp.x
+        y_box = qp.y_box
 
         # ---- merit line search ----
         mu = jnp.maximum(

@@ -4,8 +4,6 @@ The QP constraint matrix of the transcribed minimum-time OCP,
 
     A = [ A_eq  ]      A_eq   = E_D + p * C_dyn + (-f_rows) e_p^T
         [ A_ineq]      A_ineq = per-node (ng x (nx+nu)) Jacobian blocks
-                                (+ optional elastic slack columns on the
-                                height rows)
 
 has batch-SHARED structure (ocp.py:33-41): E_D is the Chebyshev
 differentiation pattern and C_dyn the (linear) dynamics coupling — both
@@ -53,14 +51,11 @@ class StructuredA:
       p:       (B,)                 time parameter at the linearization point
       f_rows:  (B, num_eq)          dynamics values: -f_rows is the p column
       J:       (B, nodes, ng, nx+nu) exact per-node constraint Jacobians
-    n_slack (static): number of appended elastic slack columns (0, or
-      `nodes` — one per height row, matching ops/sqp.py's l1 relaxation).
     """
 
     p: jax.Array
     f_rows: jax.Array
     J: jax.Array
-    n_slack: int = dataclasses.field(default=0, metadata={"static": True})
 
 
 @lru_cache(maxsize=None)
@@ -98,7 +93,7 @@ def _dims(ocp):
     )
 
 
-def build_structured_A(ocp, z, n_slack: int = 0) -> StructuredA:
+def build_structured_A(ocp, z) -> StructuredA:
     """Exact linearization data at the (batched) iterate z — the
     matrix-free equivalent of ``vmap(ocp.constraint_matrix)(z)``."""
     X, U, p = ocp.unpack(z)
@@ -106,16 +101,14 @@ def build_structured_A(ocp, z, n_slack: int = 0) -> StructuredA:
     f = ocp.dynamics(X, U)  # (B, nodes, nx)
     f_rows = f[:, jnp.asarray(seg_idx.reshape(-1))].reshape(z.shape[0], -1)
     J = jax.vmap(ocp.node_constraint_jacobians)(z)  # (B, nodes, ng, nx+nu)
-    return StructuredA(p=p, f_rows=f_rows, J=J, n_slack=n_slack)
+    return StructuredA(p=p, f_rows=f_rows, J=J)
 
 
 def apply_A(ocp, sa: StructuredA, v):
-    """A @ v for a batch: v (B, num_var + n_slack) -> (B, num_eq + num_ineq)."""
+    """A @ v for a batch: v (B, num_var) -> (B, num_eq + num_ineq)."""
     order, S, nodes, nx, nu, ng, num_eq = _dims(ocp)
     B = v.shape[0]
-    n = ocp.num_var
-    vz, vs = v[:, :n], v[:, n:]
-    vX, vU, vp = ocp.unpack(vz)
+    vX, vU, vp = ocp.unpack(v)
     seg_idx, *_ = _static_indices(order, S)
     idx = jnp.asarray(seg_idx)  # (S, K)
 
@@ -128,16 +121,14 @@ def apply_A(ocp, sa: StructuredA, v):
     eq = (dX - sa.p[:, None, None, None] * f_lin[:, idx]).reshape(B, num_eq)
     eq = eq - sa.f_rows * vp[:, None]
 
-    # inequality rows: per-node J blocks (+ slack on the height rows)
+    # inequality rows: per-node J blocks
     v_nodes = jnp.concatenate([vX, vU], axis=-1)  # (B, nodes, nx+nu)
     g = jnp.einsum("bngc,bnc->bng", sa.J, v_nodes)
-    if sa.n_slack:
-        g = g.at[..., -1].add(vs)
     return jnp.concatenate([eq, g.reshape(B, -1)], axis=-1)
 
 
 def apply_AT(ocp, sa: StructuredA, w):
-    """A^T @ w for a batch: w (B, num_eq + num_ineq) -> (B, num_var + n_slack)."""
+    """A^T @ w for a batch: w (B, num_eq + num_ineq) -> (B, num_var)."""
     order, S, nodes, nx, nu, ng, num_eq = _dims(ocp)
     B = w.shape[0]
     K = order + 1
@@ -171,19 +162,16 @@ def apply_AT(ocp, sa: StructuredA, w):
     # p column
     p_out = -jnp.einsum("be,be->b", sa.f_rows, w[:, :num_eq])
 
-    out = jnp.concatenate(
+    return jnp.concatenate(
         [X_out.reshape(B, -1), U_out.reshape(B, -1), p_out[:, None]], axis=-1
     )
-    if sa.n_slack:
-        out = jnp.concatenate([out, w_g[..., -1]], axis=-1)
-    return out
 
 
 def materialize(ocp, sa: StructuredA, dtype=None):
-    """Dense (B, m, n + n_slack) matrix equal to the structured operator —
-    for tests and for the once-per-solve Ruiz equilibration."""
+    """Dense (B, m, n) matrix equal to the structured operator — for tests
+    and for the once-per-solve Ruiz equilibration."""
     B = sa.p.shape[0]
-    n = ocp.num_var + sa.n_slack
+    n = ocp.num_var
     dt = dtype or sa.f_rows.dtype
     eye = jnp.eye(n, dtype=dt)
     cols = jax.vmap(
@@ -196,7 +184,7 @@ def operator_norm(ocp, sa: StructuredA, D, E, iters: int = 40, key=None):
     """Per-problem 2-norm estimate of the SCALED operator E A D by power
     iteration on (E A D)^T (E A D) — matrix-free, once per solve."""
     B = sa.p.shape[0]
-    n = ocp.num_var + sa.n_slack
+    n = ocp.num_var
     dt = sa.f_rows.dtype
     if key is None:
         key = jax.random.PRNGKey(0)

@@ -53,3 +53,56 @@ def sharded_solve_fn(planner, mesh: Mesh, axis_name: str = BATCH_AXIS):
         return sol, stats
 
     return jax.jit(step, in_shardings=(sharding, sharding))
+
+
+def shard_map_solve_fn(planner, mesh: Mesh, axis_name: str = BATCH_AXIS):
+    """Per-shard dispatch of the FULL solve — the form that covers the fused
+    Pallas backends (``backend='pallas'`` / ``'structured_pallas'``).
+
+    GSPMD cannot partition a ``pallas_call`` grid or the host-side
+    lane-major reshapes around it, so the production kernel path scales out
+    with :func:`jax.shard_map` instead: every device runs the complete
+    planner solve on its local batch shard (the workload is pure data
+    parallelism — zero intra-solve communication), and the aggregate stats
+    are batch-global reductions computed on the sharded outputs outside the
+    shard_map (XLA inserts the psum-style collectives over ICI).
+
+    The batch must divide evenly by the mesh size (callers pad; the solver
+    itself pads each local batch to the kernel's lane multiple).
+
+    Returns fn(current, target) -> (Solution, stats dict), jitted.
+    """
+
+    def local_solve(current, target):
+        sol = planner.solve(current, target)
+        # return only the batched leaves: Solution carries the (static,
+        # unbatched) TranscribedOCP, which must not be sharded on batch
+        return dict(
+            z=sol.z, lam_c=sol.lam_c, lam_x=sol.lam_x,
+            violation=sol.violation, qp_iterations=sol.qp_iterations,
+            qp_converged=sol.qp_converged, step_sizes=sol.step_sizes,
+            warm_start=sol.warm_start,
+        )
+
+    sharded = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        # the solve is independent per problem; no collectives inside
+        check_vma=False,
+    )
+
+    def step(current, target):
+        from ..planner import Solution
+
+        sol = Solution(ocp=planner.ocp, **sharded(current, target))
+        stats = {
+            "mean_violation": jnp.mean(sol.violation),
+            "max_violation": jnp.max(sol.violation),
+            "mean_qp_iterations": jnp.mean(sol.qp_iterations.astype(jnp.float32)),
+            "num_converged": jnp.sum(jnp.all(sol.qp_converged, axis=-1)),
+        }
+        return sol, stats
+
+    return jax.jit(step)

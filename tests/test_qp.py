@@ -135,6 +135,71 @@ def test_infeasible_hits_iteration_cap():
     assert int(sol.iterations[0]) == 200
 
 
+def test_soft_rows_match_explicit_slack_oracle():
+    """The prox-form l1 elastic (soft_c) is EXACTLY the slack-variable
+    elastic: min 1/2 x^T P x + q^T x + w * dist(A x, [lc, uc]) equals the
+    augmented QP with s+, s- >= 0, row A x - s+ + s- in [lc, uc] and linear
+    cost w (s+ + s-). Both solved by the same ADMM; x must agree."""
+    B, n, m = 3, 5, 3
+    rng = np.random.default_rng(42)
+    P = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    q = jnp.asarray(rng.normal(size=(B, n)))
+    A = jnp.asarray(rng.normal(size=(B, m, n)))
+    # tight, partly contradictory boxes so soft rows are actually violated
+    lc = jnp.asarray(rng.uniform(-0.2, 0.0, (B, m)))
+    uc = lc + jnp.asarray(rng.uniform(0.0, 0.1, (B, m)))
+    lx, ux = -INF * jnp.ones((B, n)), INF * jnp.ones((B, n))
+    w = 0.7
+    soft_c = jnp.full((B, m), w)  # every constraint row soft
+
+    st = QPSettings(eps_abs=1e-7, eps_rel=1e-7, max_iter=8000)
+    got = solve_box_qp(P, q, A, lc, uc, lx, ux, st, soft_c=soft_c)
+    assert bool(jnp.all(got.converged))
+    # soft-row duals are bounded by the weight
+    assert float(jnp.max(jnp.abs(got.y_constraints))) <= w + 1e-4
+
+    # oracle: explicit slack variables
+    na = n + 2 * m
+    P_a = jnp.concatenate([P, jnp.zeros((B, 2 * m))], axis=-1)
+    q_a = jnp.concatenate([q, jnp.full((B, 2 * m), w)], axis=-1)
+    eye = jnp.broadcast_to(jnp.eye(m), (B, m, m))
+    A_a = jnp.concatenate([A, -eye, eye], axis=-1)
+    lx_a = jnp.concatenate([lx, jnp.zeros((B, 2 * m))], axis=-1)
+    ux_a = jnp.concatenate([ux, INF * jnp.ones((B, 2 * m))], axis=-1)
+    ref = solve_box_qp(P_a, q_a, A_a, lc, uc, lx_a, ux_a, st)
+    assert bool(jnp.all(ref.converged))
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x)[:, :n], atol=2e-4
+    )
+    # the paid violation matches the oracle's slack magnitudes
+    Ax = np.einsum("bmn,bn->bm", np.asarray(A), np.asarray(got.x))
+    viol = np.maximum(Ax - np.asarray(uc), 0) + np.maximum(np.asarray(lc) - Ax, 0)
+    s = np.asarray(ref.x)[:, n:]
+    np.testing.assert_allclose(viol, s[:, :m] + s[:, m:], atol=2e-4)
+
+
+def test_soft_rows_inactive_when_feasible():
+    """On a feasible QP whose optimal duals are below the weight, soft and
+    hard solves return the same solution (exact penalty property)."""
+    B, n, m = 2, 4, 2
+    rng = np.random.default_rng(7)
+    P = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    q = jnp.asarray(rng.normal(size=(B, n)))
+    A = jnp.asarray(rng.normal(size=(B, m, n)))
+    lc = -0.5 * jnp.ones((B, m))
+    uc = 0.5 * jnp.ones((B, m))
+    lx, ux = -2.0 * jnp.ones((B, n)), 2.0 * jnp.ones((B, n))
+    st = QPSettings(eps_abs=1e-7, eps_rel=1e-7, max_iter=8000)
+    hard = solve_box_qp(P, q, A, lc, uc, lx, ux, st)
+    soft = solve_box_qp(
+        P, q, A, lc, uc, lx, ux, st, soft_c=jnp.full((B, m), 50.0)
+    )
+    assert bool(jnp.all(hard.converged)) and bool(jnp.all(soft.converged))
+    np.testing.assert_allclose(
+        np.asarray(soft.x), np.asarray(hard.x), atol=1e-4
+    )
+
+
 def test_split3_is_hard_gated(monkeypatch):
     """split3 diverges on real TPU workloads (CLAUDE.md): enabling it must
     raise unless the experiment escape hatch is set."""

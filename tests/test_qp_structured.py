@@ -38,13 +38,10 @@ def _random_z(ocp, key, B):
     return jax.vmap(ocp.pack)(X, U, p)
 
 
-@pytest.mark.parametrize("n_slack", [0, None])
-def test_ruiz_structured_matches_dense(ocp, n_slack):
-    if n_slack is None:
-        n_slack = ocp.num_nodes
+def test_ruiz_structured_matches_dense(ocp):
     B = 2
     z = _random_z(ocp, jax.random.PRNGKey(0), B)
-    sa = structure.build_structured_A(ocp, z, n_slack=n_slack)
+    sa = structure.build_structured_A(ocp, z)
     A = structure.materialize(ocp, sa)
     D_ref, E_ref = _ruiz_equilibrate(A, iters=6)
     D, E = qs.ruiz_structured(ocp, sa, iters=6)
@@ -52,14 +49,11 @@ def test_ruiz_structured_matches_dense(ocp, n_slack):
     np.testing.assert_allclose(np.asarray(E), np.asarray(E_ref), rtol=1e-12)
 
 
-@pytest.mark.parametrize("n_slack", [0, None])
-def test_banded_assembly_matches_dense_normal_matrix(ocp, n_slack):
-    if n_slack is None:
-        n_slack = ocp.num_nodes
+def test_banded_assembly_matches_dense_normal_matrix(ocp):
     B = 2
     z = _random_z(ocp, jax.random.PRNGKey(1), B)
-    sa = structure.build_structured_A(ocp, z, n_slack=n_slack)
-    n = ocp.num_var + n_slack
+    sa = structure.build_structured_A(ocp, z)
+    n = ocp.num_var
     m = ocp.num_eq + ocp.num_ineq
     rng = np.random.default_rng(5)
     D = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
@@ -82,13 +76,11 @@ def test_banded_assembly_matches_dense_normal_matrix(ocp, n_slack):
 
     # compare banded blocks + arrow against the node-major permutation of M_ref
     nodes, nu = ocp.num_nodes, ocp.nu
-    blk = nx + nu + (1 if n_slack else 0)
+    blk = nx + nu
     perm = []
     for k in range(nodes):
         perm.extend(range(k * nx, (k + 1) * nx))
         perm.extend(range(nodes * nx + k * nu, nodes * nx + (k + 1) * nu))
-        if n_slack:
-            perm.append(ocp.num_var + k)
     p_idx = nodes * (nx + nu)
     Mp = M_ref[:, perm][:, :, perm]
     for k in range(nodes):
@@ -107,14 +99,11 @@ def test_banded_assembly_matches_dense_normal_matrix(ocp, n_slack):
     np.testing.assert_allclose(np.asarray(m_pp), M_ref[:, p_idx, p_idx], atol=1e-9)
 
 
-@pytest.mark.parametrize("n_slack", [0, None])
-def test_factor_solve_matches_dense_solve(ocp, n_slack):
-    if n_slack is None:
-        n_slack = ocp.num_nodes
+def test_factor_solve_matches_dense_solve(ocp):
     B = 2
     z = _random_z(ocp, jax.random.PRNGKey(2), B)
-    sa = structure.build_structured_A(ocp, z, n_slack=n_slack)
-    n = ocp.num_var + n_slack
+    sa = structure.build_structured_A(ocp, z)
+    n = ocp.num_var
     m = ocp.num_eq + ocp.num_ineq
     rng = np.random.default_rng(9)
     D = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
@@ -128,7 +117,7 @@ def test_factor_solve_matches_dense_solve(ocp, n_slack):
     w_g = w[:, ocp.num_eq :].reshape(B, ocp.num_nodes, -1)
     Mband, p_col, m_pp = qs.assemble_banded_M(ocp, sa, w_eq, w_g, D, sig)
     fac = qs.factor_arrow(Mband, p_col, m_pp, ocp.coll.order)
-    x = qs.solve_arrow(ocp, fac, ocp.coll.order, rhs, n_slack)
+    x = qs.solve_arrow(ocp, fac, ocp.coll.order, rhs)
 
     A = np.asarray(structure.materialize(ocp, sa))
     Dn = np.asarray(D)
@@ -139,8 +128,12 @@ def test_factor_solve_matches_dense_solve(ocp, n_slack):
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=1e-8, atol=1e-10)
 
 
-def _planner_qp_data(B=4, slack=True):
-    """Real SQP-subproblem QP data from warm-started planner states."""
+def _planner_qp_data(B=4, soft=True):
+    """Real SQP-subproblem QP data from warm-started planner states.
+
+    soft=True additionally returns the per-row l1 penalty weights the SQP
+    uses (ops/sqp.py: every nonlinear inequality row soft at weight 10);
+    soft=False returns soft_c=None (all rows hard)."""
     from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
 
     planner = MotionPlanner(margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1))
@@ -151,7 +144,6 @@ def _planner_qp_data(B=4, slack=True):
     ocp = planner.ocp
     bounds = planner.nlp_bounds(cur, tgt)
     z0 = planner.warm_start_vector(planner.plan_warm_start(cur, tgt))
-    n_s = ocp.num_nodes if slack else 0
 
     c_eq = jax.vmap(ocp.eq_residual)(z0)
     g = jax.vmap(ocp.ineq_residual)(z0)
@@ -165,15 +157,12 @@ def _planner_qp_data(B=4, slack=True):
     lx = jnp.broadcast_to(bounds.lb_var, z0.shape) - z0
     ux = jnp.broadcast_to(bounds.ub_var, z0.shape) - z0
     P = jnp.full((B, ocp.num_var), 0.01, dt)
-    if n_s:
-        ns = n_s
-        P = jnp.concatenate([P, jnp.full((B, ns), 0.01, dt)], axis=-1)
-        h = jnp.concatenate([h, jnp.full((B, ns), 10.0, dt)], axis=-1)
-        lx = jnp.concatenate([lx, jnp.zeros((B, ns), dt)], axis=-1)
-        ux = jnp.concatenate([ux, jnp.full((B, ns), jnp.inf, dt)], axis=-1)
-    sa = structure.build_structured_A(ocp, z0, n_slack=n_s)
+    soft_c = (
+        jnp.zeros((B, m), dt).at[:, ocp.num_eq :].set(10.0) if soft else None
+    )
+    sa = structure.build_structured_A(ocp, z0)
     A = structure.materialize(ocp, sa)
-    return ocp, sa, A, P, h, lc, uc, lx, ux
+    return ocp, sa, A, P, h, lc, uc, lx, ux, soft_c
 
 
 def test_planner_solve_structured_matches_xla():
@@ -208,14 +197,16 @@ def test_planner_solve_structured_matches_xla():
     )
 
 
-@pytest.mark.parametrize("slack", [False, True])
-def test_structured_backend_matches_xla_on_planner_qps(slack):
+@pytest.mark.parametrize("soft", [False, True])
+def test_structured_backend_matches_xla_on_planner_qps(soft):
     from mpc_motion_planner_tpu.ops.qp import solve_box_qp
 
-    ocp, sa, A, P, h, lc, uc, lx, ux = _planner_qp_data(B=4, slack=slack)
+    ocp, sa, A, P, h, lc, uc, lx, ux, soft_c = _planner_qp_data(B=4, soft=soft)
     settings = QPSettings(max_iter=700, kkt_refine=0)
-    ref = solve_box_qp(P, h, A, lc, uc, lx, ux, settings)
-    got = qs.solve_box_qp_structured(ocp, sa, P, h, lc, uc, lx, ux, settings)
+    ref = solve_box_qp(P, h, A, lc, uc, lx, ux, settings, soft_c=soft_c)
+    got = qs.solve_box_qp_structured(
+        ocp, sa, P, h, lc, uc, lx, ux, settings, soft_c=soft_c
+    )
 
     assert bool(jnp.all(got.converged == ref.converged))
     # identical algorithm + exact solves: iterates should track tightly
@@ -228,32 +219,36 @@ def test_structured_backend_matches_xla_on_planner_qps(slack):
 
 
 def test_structured_backend_solves_planner_qps_to_tolerance():
-    ocp, sa, A, P, h, lc, uc, lx, ux = _planner_qp_data(B=4, slack=True)
+    ocp, sa, A, P, h, lc, uc, lx, ux, soft_c = _planner_qp_data(B=4, soft=True)
     settings = QPSettings(max_iter=700)
-    got = qs.solve_box_qp_structured(ocp, sa, P, h, lc, uc, lx, ux, settings)
+    got = qs.solve_box_qp_structured(
+        ocp, sa, P, h, lc, uc, lx, ux, settings, soft_c=soft_c
+    )
     # Not every chained-workload QP converges within the reference's
     # 700-iteration budget (a property of the problem, shared with the
     # XLA backend — see the parity test); most must.
     conv = np.asarray(got.converged)
     assert conv.sum() >= 3
-    # KKT check: primal feasibility of the returned step where converged
+    # KKT check: primal feasibility of the returned step where converged.
+    # HARD rows (the equality/defect block) must hold to tolerance; soft
+    # rows may carry a paid l1 violation, bounded by duals <= weight.
     Ax = np.einsum("bmn,bn->bm", np.asarray(A), np.asarray(got.x))
     viol = np.maximum(Ax - np.asarray(uc), 0.0) + np.maximum(
         np.asarray(lc) - Ax, 0.0
     )
-    assert viol[conv].max() < 5e-3
+    hard = np.asarray(soft_c) == 0
+    assert (viol * hard)[conv].max() < 5e-3
+    duals = np.abs(np.asarray(got.y_constraints))
+    assert (duals * ~hard)[conv].max() <= 10.0 + 1e-3
 
 
-@pytest.mark.parametrize("n_slack", [0, None])
-def test_banded_factor_matches_group_factor(ocp, n_slack):
+def test_banded_factor_matches_group_factor(ocp):
     """Node-level block-banded Cholesky (the fused kernel's factor form)
     solves the same system as the group-tridiagonal factorization."""
-    if n_slack is None:
-        n_slack = ocp.num_nodes
     B = 3
     z = _random_z(ocp, jax.random.PRNGKey(4), B)
-    sa = structure.build_structured_A(ocp, z, n_slack=n_slack)
-    n = ocp.num_var + n_slack
+    sa = structure.build_structured_A(ocp, z)
+    n = ocp.num_var
     m = ocp.num_eq + ocp.num_ineq
     rng = np.random.default_rng(13)
     D = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
@@ -266,16 +261,16 @@ def test_banded_factor_matches_group_factor(ocp, n_slack):
     w_g = w[:, ocp.num_eq :].reshape(B, ocp.num_nodes, -1)
     Mband, p_col, m_pp = qs.assemble_banded_M(ocp, sa, w_eq, w_g, D, sig)
     fac_g = qs.factor_arrow(Mband, p_col, m_pp, ocp.coll.order)
-    x_g = qs.solve_arrow(ocp, fac_g, ocp.coll.order, rhs, n_slack)
+    x_g = qs.solve_arrow(ocp, fac_g, ocp.coll.order, rhs)
     fac_b = qs.factor_banded(Mband, p_col, m_pp, ocp.coll.order)
-    x_b = qs.solve_arrow_banded(ocp, fac_b, rhs, n_slack)
+    x_b = qs.solve_arrow_banded(ocp, fac_b, rhs)
     np.testing.assert_allclose(
         np.asarray(x_b), np.asarray(x_g), rtol=1e-9, atol=1e-11
     )
 
 
-@pytest.mark.parametrize("slack", [False, True])
-def test_structured_pallas_kernel_matches_xla_backend(slack):
+@pytest.mark.parametrize("soft", [False, True])
+def test_structured_pallas_kernel_matches_xla_backend(soft):
     """The fused lane-major kernel (interpret mode off-TPU) tracks the XLA
     structured backend on real planner QPs: identical convergence flags,
     iterates within f32 factorization-rounding drift."""
@@ -283,28 +278,34 @@ def test_structured_pallas_kernel_matches_xla_backend(slack):
         solve_box_qp_structured_pallas,
     )
 
-    ocp, sa, A, P, h, lc, uc, lx, ux = _planner_qp_data(B=4, slack=slack)
+    ocp, sa, A, P, h, lc, uc, lx, ux, soft_c = _planner_qp_data(B=4, soft=soft)
     # the kernel is float32-only: compare both backends at f32
     f32 = jnp.float32
     sa = structure.StructuredA(
-        p=sa.p.astype(f32), f_rows=sa.f_rows.astype(f32),
-        J=sa.J.astype(f32), n_slack=sa.n_slack,
+        p=sa.p.astype(f32), f_rows=sa.f_rows.astype(f32), J=sa.J.astype(f32)
     )
     P, h, lc, uc, lx, ux = (a.astype(f32) for a in (P, h, lc, uc, lx, ux))
     settings = QPSettings(max_iter=700, rho_update_every=0)
-    ref = qs.solve_box_qp_structured(ocp, sa, P, h, lc, uc, lx, ux, settings)
+    ref = qs.solve_box_qp_structured(
+        ocp, sa, P, h, lc, uc, lx, ux, settings, soft_c=soft_c
+    )
     got = solve_box_qp_structured_pallas(
-        ocp, sa, P, h, lc, uc, lx, ux, settings, lanes=8
+        ocp, sa, P, h, lc, uc, lx, ux, settings, soft_c=soft_c, lanes=8
     )
     assert bool(jnp.all(got.converged == ref.converged))
     conv = np.asarray(ref.converged)
     if conv.any():
-        # converged problems satisfy the same tolerance
+        # converged problems satisfy the same tolerance on HARD rows
         Ax = np.einsum("bmn,bn->bm", np.asarray(A), np.asarray(got.x))
         viol = np.maximum(Ax - np.asarray(uc), 0.0) + np.maximum(
             np.asarray(lc) - Ax, 0.0
         )
-        assert viol[conv].max() < 5e-3
+        hard = (
+            np.asarray(soft_c) == 0
+            if soft_c is not None
+            else np.ones(viol.shape, bool)
+        )
+        assert (viol * hard)[conv].max() < 5e-3
     np.testing.assert_allclose(
         np.asarray(got.iterations), np.asarray(ref.iterations), atol=26
     )
@@ -317,13 +318,13 @@ def test_structured_pallas_batch_padding():
         solve_box_qp_structured_pallas,
     )
 
-    ocp, sa, A, P, h, lc, uc, lx, ux = _planner_qp_data(B=3, slack=True)
+    ocp, sa, A, P, h, lc, uc, lx, ux, soft_c = _planner_qp_data(B=3, soft=True)
     settings = QPSettings(max_iter=100, rho_update_every=0)
     a = solve_box_qp_structured_pallas(
-        ocp, sa, P, h, lc, uc, lx, ux, settings, lanes=8
+        ocp, sa, P, h, lc, uc, lx, ux, settings, soft_c=soft_c, lanes=8
     )
     b = solve_box_qp_structured_pallas(
-        ocp, sa, P, h, lc, uc, lx, ux, settings, lanes=4
+        ocp, sa, P, h, lc, uc, lx, ux, settings, soft_c=soft_c, lanes=4
     )
     # unconverged f32 iterates accumulate reassociation noise over the 100
     # iterations (lane-width-dependent reduction tiling) — agreement is
@@ -331,4 +332,4 @@ def test_structured_pallas_batch_padding():
     np.testing.assert_allclose(
         np.asarray(a.x), np.asarray(b.x), rtol=0, atol=5e-3
     )
-    assert a.x.shape == (3, ocp.num_var + ocp.num_nodes)
+    assert a.x.shape == (3, ocp.num_var)

@@ -38,25 +38,13 @@ def test_materialize_matches_dense_jacobian(ocp):
     np.testing.assert_allclose(np.asarray(mat), np.asarray(dense), atol=1e-10)
 
 
-@pytest.mark.parametrize("n_slack", [0, None])
-def test_apply_matches_dense_matvec(ocp, n_slack):
-    if n_slack is None:
-        n_slack = ocp.num_nodes
+def test_apply_matches_dense_matvec(ocp):
     B = 3
     z = _random_z(ocp, jax.random.PRNGKey(1), B)
-    sa = structure.build_structured_A(ocp, z, n_slack=n_slack)
+    sa = structure.build_structured_A(ocp, z)
     A = np.asarray(structure.materialize(ocp, sa))
     m, n = A.shape[1], A.shape[2]
-    assert n == ocp.num_var + n_slack
-
-    if n_slack:
-        # slack columns: identity onto each node's height row
-        h_rows = ocp.num_eq + (np.arange(n_slack) + 1) * ocp.ng - 1
-        expected = np.zeros((m, n_slack))
-        expected[h_rows, np.arange(n_slack)] = 1.0
-        np.testing.assert_allclose(
-            A[:, :, ocp.num_var :], np.broadcast_to(expected, (B, m, n_slack)), atol=0
-        )
+    assert n == ocp.num_var
 
     rng = np.random.default_rng(7)
     v = jnp.asarray(rng.standard_normal((B, n)))
