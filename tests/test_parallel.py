@@ -88,19 +88,27 @@ def test_shard_map_pallas_backend_matches_single_device():
         ),
     )
     cur, tgt = _states(planner, 8)
-    sol_ref = planner.solve(cur, tgt)
+    # The reference must be JITTED: eager execution compiles the f32
+    # kernel ops one-by-one while jit lets XLA fuse/FMA-contract them,
+    # perturbing iterates at the ulp level — which 50 mid-flight ADMM
+    # iterations amplify to ~1e-2 (root-caused in round 3: eager-vs-jit
+    # max|dz| 9.1e-3, jit-vs-shard_map max|dz| 0.0; batch slicing B=8 vs
+    # B=2 is also bitwise identical, so results do NOT depend on
+    # batch/lane composition).
+    sol_ref_z = jax.jit(lambda c, t: planner.solve(c, t).z)(cur, tgt)
+    sol_ref_viol = jax.jit(lambda c, t: planner.solve(c, t).violation)(cur, tgt)
 
     mesh = make_mesh(jax.devices()[:4])
     cur_s, tgt_s = shard_batch(mesh, (cur, tgt))
     step = shard_map_solve_fn(planner, mesh)
     sol, stats = step(cur_s, tgt_s)
-    # per-problem solves are independent of the lane grouping; agreement is
-    # up to f32 reduction determinism (exact on CPU interpret mode)
+    # per-problem solves are independent of the lane grouping; jit-to-jit
+    # agreement is exact on CPU interpret mode
     np.testing.assert_allclose(
-        np.asarray(sol.z), np.asarray(sol_ref.z), atol=1e-6
+        np.asarray(sol.z), np.asarray(sol_ref_z), atol=1e-6
     )
     assert float(stats["max_violation"]) == pytest.approx(
-        float(jnp.max(sol_ref.violation)), rel=1e-5
+        float(jnp.max(sol_ref_viol)), rel=1e-5
     )
     # outputs really are laid out over the mesh
     assert len(sol.z.addressable_shards) == 4
