@@ -43,32 +43,45 @@ def main():
     from mpc_motion_planner_tpu.ops.qp import QPSettings
     from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
 
-    # "structured": matrix-free ADMM over the batch-shared constraint
-    # operator + banded-arrow factorization (the production path; fastest
-    # measured and portable). "pallas": the round-1 fused dense kernel.
-    # "xla": dense portable fallback.
-    backend = os.environ.get("BENCH_QP_BACKEND", "structured")
-    if jax.default_backend() == "cpu" and backend == "pallas":
-        backend = "xla"  # the fused kernel is TPU-only
+    # "structured_pallas": the fused VMEM-resident kernel over the
+    # matrix-free structured operator (the production TPU path; fastest
+    # measured: 2184 solves/s at B=1024 on v5e, round 3). "structured":
+    # the portable XLA path of the same algorithm (429/s at B=1024).
+    # "pallas": the round-1 fused dense kernel. "xla": dense fallback.
+    backend = os.environ.get("BENCH_QP_BACKEND", "structured_pallas")
+    if jax.default_backend() == "cpu":
+        # the fused kernels are TPU-only (interpret mode is far too slow
+        # for a benchmark); fall back to the portable same-algorithm path
+        if backend == "pallas":
+            backend = "xla"
+        elif backend == "structured_pallas":
+            backend = "structured"
     # Pallas only: VMEM-resident chunks dispatched per solve-chunk.
     chunk = int(os.environ.get("BENCH_CHUNK", "32" if backend == "pallas" else "0"))
 
-    # The structured backend's factored (backward-stable) KKT solves do not
-    # need iterative refinement for f32 convergence (measured: identical
-    # quality, ~30% faster at refine=0); the dense backends' explicit
-    # inverse does (qp convergence 30% -> 80% with refine=1).
+    # The structured backends' factored (backward-stable) KKT solves do not
+    # need iterative refinement for f32 convergence — measured round 3 on
+    # the kernel: refine=0 2629/s conv 0.828 vs refine=1 2185/s conv 0.833
+    # at identical violation. The dense backends' explicit inverse DOES
+    # need it (qp convergence 30% -> 80% with refine=1).
     refine = int(
-        os.environ.get("BENCH_KKT_REFINE", "0" if backend == "structured" else "1")
+        os.environ.get(
+            "BENCH_KKT_REFINE",
+            "0" if backend in ("structured", "structured_pallas") else "1",
+        )
     )
     rho_every = int(os.environ.get("BENCH_RHO_EVERY", "0"))
     max_iter = int(os.environ.get("BENCH_QP_MAX_ITER", "700"))
+    check_every = int(os.environ.get("BENCH_CHECK_EVERY", "25"))
+    kkt_factor = os.environ.get("BENCH_KKT_FACTOR", "lu")
 
     def make_run(backend):
         planner = MotionPlanner(
             margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1),
             qp_settings=QPSettings(
                 backend=backend, kkt_refine=refine, rho_update_every=rho_every,
-                max_iter=max_iter,
+                max_iter=max_iter, check_every=check_every,
+                kkt_factor=kkt_factor,
             ),
         )
 
@@ -96,16 +109,19 @@ def main():
     current = jax.device_put(current)
     target = jax.device_put(target)
 
-    # compile + warm up; if the fused-kernel path hits a device fault
-    # (axon tunnel flakiness), fall back to the portable XLA path rather
-    # than failing the benchmark run.
+    # compile + warm up; if any backend hits a device fault (axon tunnel
+    # flakiness, kernel watchdog), fall back to the portable same-algorithm
+    # XLA path rather than failing the benchmark run.
+    fallback = {"pallas": "xla", "structured_pallas": "structured",
+                "structured": "xla"}
     try:
         out = jax.block_until_ready(run(current, target))
     except Exception as e:  # noqa: BLE001 - jax runtime errors vary by backend
-        if backend == "pallas":
-            print(f"# pallas backend failed ({type(e).__name__}); falling back to xla",
-                  file=sys.stderr)
-            backend = "xla"
+        if backend in fallback:
+            nxt = fallback[backend]
+            print(f"# {backend} backend failed ({type(e).__name__}); "
+                  f"falling back to {nxt}", file=sys.stderr)
+            backend = nxt
             planner, run = make_run(backend)
             out = jax.block_until_ready(run(current, target))
         else:
@@ -129,7 +145,9 @@ def main():
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
         "batch": batch,
         "batch_wall_s": round(best, 4),
-        "p50_latency_ms": round(1e3 * best / batch, 4),
+        # amortized per-solve time (batch wall / batch) — NOT a latency
+        # percentile; a single solve's wall time is the full batch_wall_s
+        "amortized_ms_per_solve": round(1e3 * best / batch, 4),
         "tol_hit_rate": round(float(ok.mean()), 4),
         "median_violation": float(np.median(np.asarray(violation))),
         # fraction of QP subproblems converged within the iteration budget

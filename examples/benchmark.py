@@ -31,8 +31,9 @@ def main():
     ap.add_argument("--margins", type=float, nargs=5, default=[0.8, 0.8, 0.6, 0.9, 0.1],
                     help="position velocity acceleration torque jerk (benchmark.cpp:9)")
     ap.add_argument("--qp-backend", default="structured",
-                    choices=["structured", "xla", "pallas"])
-    ap.add_argument("--kkt-refine", type=int, default=0)
+                    choices=["structured", "structured_pallas", "xla", "pallas"])
+    ap.add_argument("--kkt-refine", type=int, default=None,
+                    help="default: 0 for structured, 1 for the other backends")
     ap.add_argument("--qp-max-iter", type=int, default=700)
     args = ap.parse_args()
 
@@ -51,6 +52,10 @@ def main():
     from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
     from mpc_motion_planner_tpu.utils.io import write_benchmark_records
 
+    if args.kkt_refine is None:
+        args.kkt_refine = (
+            0 if args.qp_backend in ("structured", "structured_pallas") else 1
+        )
     planner = MotionPlanner(
         margins=Margins(*args.margins),
         qp_settings=QPSettings(

@@ -3,12 +3,16 @@
 benchmark workload.
 
 Replays the QP subproblems exactly as ops/sqp.py poses them (warm start,
-elastic height slacks, dual warm starts between SQP steps) and records
-per-problem convergence, iteration counts and final residuals for a few
-settings variants, to answer:
+prox-soft nonlinear inequality rows, dual warm starts between SQP steps)
+and records per-problem convergence, iteration counts and final residuals
+for a few settings variants, to answer:
 
-* where do the unconverged 25-30% sit (primal vs dual residual)?
+* where do the unconverged QPs sit (primal vs dual residual)?
 * does adaptive rho / kkt refinement / a different base rho fix them?
+
+Runs on CPU (f32, matching the TPU kernel's precision) regardless of the
+available accelerator — the TPU is a single exclusive device reserved for
+the serialized bench runs.
 
 Usage: python experiments/conv_diag.py [batch] [variant ...]
 """
@@ -16,18 +20,21 @@ Usage: python experiments/conv_diag.py [batch] [variant ...]
 import sys
 import time
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
+import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
-
-import jax
-import jax.numpy as jnp
 
 from mpc_motion_planner_tpu.bench.harness import chain_states
 from mpc_motion_planner_tpu.ops import structure
 from mpc_motion_planner_tpu.ops.qp import QPSettings
 from mpc_motion_planner_tpu.ops.qp_structured import solve_box_qp_structured
 from mpc_motion_planner_tpu.ops.sqp import (
+    _line_search,
     constraint_violation,
     hessian_regularization_diag,
 )
@@ -36,14 +43,19 @@ from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
 VARIANTS = {
     "base": dict(),
     "refine1": dict(kkt_refine=1),
-    "rho_adapt50": dict(rho_update_every=50),
-    "rho0.5": dict(rho=0.5),
-    "rho_adapt25": dict(rho_update_every=25),
+    "rho_adapt100": dict(rho_update_every=100, kkt_refine=1),
+    "rho_adapt50": dict(rho_update_every=50, kkt_refine=1),
+    "rho_adapt25": dict(rho_update_every=25, kkt_refine=1),
+    "rho0.5": dict(rho=0.5, kkt_refine=1),
+    "rho0.02": dict(rho=0.02, kkt_refine=1),
+    "eq300": dict(rho_eq_scale=300.0, kkt_refine=1),
+    "it1400_r1": dict(max_iter=1400, kkt_refine=1),
 }
 
 
 def qp_stats(planner, cur, tgt, qp_kw):
-    """Run the full 2-step SQP, returning per-step QP diagnostics."""
+    """Run the full 2-step SQP (mirroring ops/sqp._sqp_solve_impl with the
+    structured backend), returning per-step QP diagnostics + violation."""
     ocp = planner.ocp
     settings = planner.sqp_settings
     kw = dict(backend="structured", rho_update_every=0)
@@ -58,19 +70,20 @@ def qp_stats(planner, cur, tgt, qp_kw):
     dt = z0.dtype
     n = ocp.num_var
     m = ocp.num_eq + ocp.num_ineq
-    n_s = ocp.num_nodes
 
     lb_var = jnp.broadcast_to(bounds.lb_var, z0.shape)
     ub_var = jnp.broadcast_to(bounds.ub_var, z0.shape)
     lb_g = jnp.broadcast_to(bounds.lb_ineq, (B, ocp.num_ineq))
     ub_g = jnp.broadcast_to(bounds.ub_ineq, (B, ocp.num_ineq))
-    mu_s = jnp.asarray(settings.slack_penalty, dt)
-    inf = jnp.asarray(jnp.inf, dt)
+    if settings.slack_penalty > 0:
+        soft_c = jnp.zeros((B, m), dt).at[:, ocp.num_eq :].set(
+            settings.slack_penalty
+        )
+    else:
+        soft_c = None
 
     @jax.jit
     def run(z0):
-        from mpc_motion_planner_tpu.ops.sqp import _line_search
-
         z = z0
         lam_c = jnp.zeros((B, m), dt)
         lam_x = jnp.zeros((B, n), dt)
@@ -79,7 +92,7 @@ def qp_stats(planner, cur, tgt, qp_kw):
             for _ in range(settings.max_iter):
                 c_eq = jax.vmap(ocp.eq_residual)(z)
                 g = jax.vmap(ocp.ineq_residual)(z)
-                sa = structure.build_structured_A(ocp, z, n_slack=n_s)
+                sa = structure.build_structured_A(ocp, z)
                 h = jax.vmap(ocp.cost_gradient)(z)
                 P_diag = hessian_regularization_diag(
                     ocp, (B,), dt, settings.reg_eps
@@ -88,23 +101,41 @@ def qp_stats(planner, cur, tgt, qp_kw):
                 uc = jnp.concatenate([-c_eq, ub_g - g], axis=-1)
                 lx = lb_var - z
                 ux = ub_var - z
-                P_qp = jnp.concatenate(
-                    [P_diag, jnp.full((B, n_s), settings.reg_eps, dt)], axis=-1
-                )
-                h_qp = jnp.concatenate([h, jnp.full((B, n_s), mu_s)], axis=-1)
-                lx_qp = jnp.concatenate([lx, jnp.zeros((B, n_s), dt)], axis=-1)
-                ux_qp = jnp.concatenate([ux, jnp.full((B, n_s), inf)], axis=-1)
-                yx0 = jnp.concatenate([lam_x, jnp.zeros((B, n_s), dt)], axis=-1)
                 qp = solve_box_qp_structured(
-                    ocp, sa, P_qp, h_qp, lc, uc, lx_qp, ux_qp, qp_settings,
-                    yc0=lam_c, yx0=yx0,
+                    ocp, sa, P_diag, h, lc, uc, lx, ux, qp_settings,
+                    yc0=lam_c, yx0=lam_x, soft_c=soft_c,
                 )
+                # split the primal infeasibility of the returned iterate by
+                # row group: eq (defect) rows vs ineq rows vs variable box
+                from mpc_motion_planner_tpu.ops.structure import apply_A
+
+                Ax = apply_A(ocp, sa, qp.x)
+                v_eq = jnp.max(
+                    jnp.abs(Ax[:, : ocp.num_eq] - lc[:, : ocp.num_eq]), axis=-1
+                )
+                gi = Ax[:, ocp.num_eq :]
+                v_g = jnp.max(
+                    jnp.maximum(gi - uc[:, ocp.num_eq :], 0.0)
+                    + jnp.maximum(lc[:, ocp.num_eq :] - gi, 0.0),
+                    axis=-1,
+                )
+                bx = jnp.maximum(qp.x - ux, 0.0) + jnp.maximum(lx - qp.x, 0.0)
+                v_x = jnp.max(bx, axis=-1)
+                # split the box violation by variable group
+                n_s, nx_, nu_ = ocp.num_nodes, ocp.nx, ocp.nu
+                bX = bx[:, : n_s * nx_].reshape(B, n_s, nx_)
+                v_x0 = jnp.max(bX[:, 0], axis=-1)
+                v_xT = jnp.max(bX[:, -1], axis=-1)
+                v_xm = jnp.max(bX[:, 1:-1].reshape(B, -1), axis=-1)
+                v_u = jnp.max(bx[:, n_s * nx_ : n_s * (nx_ + nu_)], axis=-1)
+                v_p = bx[:, n_s * (nx_ + nu_)]
                 out.append(
                     (qp.converged, qp.iterations, qp.prim_residual,
-                     qp.dual_residual)
+                     qp.dual_residual, v_eq, v_g, v_x,
+                     v_x0, v_xm, v_xT, v_u, v_p)
                 )
-                d = qp.x[:, :n]
-                y_box = qp.y_box[:, :n]
+                d = qp.x
+                y_box = qp.y_box
                 mu = jnp.maximum(
                     jnp.max(jnp.abs(qp.y_constraints), axis=-1),
                     jnp.max(jnp.abs(y_box), axis=-1),
@@ -132,11 +163,13 @@ def main():
         t0 = time.perf_counter()
         out, viol = jax.block_until_ready(qp_stats(planner, cur, tgt, kw))
         wall = time.perf_counter() - t0
-        print(f"== {name} (B={B}, compile+run {wall:.1f}s) ==")
-        for step, (conv, iters, rp, rd) in enumerate(out):
+        print(f"== {name} (B={B}, compile+run {wall:.1f}s) ==", flush=True)
+        for step, (conv, iters, rp, rd, v_eq, v_g, v_x,
+                   v_x0, v_xm, v_xT, v_u, v_p) in enumerate(out):
             conv = np.asarray(conv)
             iters = np.asarray(iters)
             rp, rd = np.asarray(rp), np.asarray(rd)
+            v_eq, v_g, v_x = np.asarray(v_eq), np.asarray(v_g), np.asarray(v_x)
             bad = ~conv
             print(
                 f"  step{step}: conv={conv.mean():.3f} "
@@ -149,9 +182,24 @@ def main():
                     f"rp p50/max={np.median(rp[bad]):.2e}/{rp[bad].max():.2e} "
                     f"rd p50/max={np.median(rd[bad]):.2e}/{rd[bad].max():.2e}"
                 )
+                print(
+                    f"    iterate infeas (max over rows, p50/max over bad): "
+                    f"eq={np.median(v_eq[bad]):.2e}/{v_eq[bad].max():.2e} "
+                    f"ineq={np.median(v_g[bad]):.2e}/{v_g[bad].max():.2e} "
+                    f"box={np.median(v_x[bad]):.2e}/{v_x[bad].max():.2e}"
+                )
+                grp = {
+                    "X0": v_x0, "Xmid": v_xm, "XT": v_xT, "U": v_u, "p": v_p,
+                }
+                parts = " ".join(
+                    f"{k}={np.median(np.asarray(v)[bad]):.2e}/"
+                    f"{np.asarray(v)[bad].max():.2e}"
+                    for k, v in grp.items()
+                )
+                print(f"    box split (p50/max over bad): {parts}")
         viol = np.asarray(viol)
         print(f"  violation p50/p90/max={np.median(viol):.3f}/"
-              f"{np.percentile(viol, 90):.2f}/{viol.max():.2f}")
+              f"{np.percentile(viol, 90):.2f}/{viol.max():.2f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -25,9 +25,11 @@ size, and the batch axis is already saturated on lanes.
 
 The ADMM semantics (residual checks, masked per-problem termination,
 divergence freeze with done=2, flush-to-zero special-value hardening)
-mirror ops/pallas/admm_kernel.py and ops/qp_structured.py; rho is FIXED
-for the kernel's duration (the production configuration) — adaptive rho
-would need a host-side refactorization between chunks.
+mirror ops/pallas/admm_kernel.py and ops/qp_structured.py. rho is fixed
+WITHIN a kernel launch; OSQP-style adaptive rho (rho_update_every > 0)
+runs as chunked dispatch with host-side residual-ratio rescaling and
+banded refactorization between launches (same pattern as qp._solve_pallas
+and the same update rule as the XLA backends).
 
 Reference parity: same boxADMM algorithm as polyMPC's
 (/root/reference/mpc_solver/motionPlanner.hpp:10-11) at the reference
@@ -44,7 +46,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..structure import StructuredA, _static_indices, apply_A
+from ..structure import StructuredA, _static_indices, apply_A, apply_AT
 from ..qp_structured import (
     assemble_banded_M,
     factor_banded,
@@ -506,9 +508,14 @@ def solve_box_qp_structured_pallas(
     """Fused-kernel counterpart of qp_structured.solve_box_qp_structured.
 
     Same problem/solution semantics (including the optional soft-row l1
-    weights soft_c, see qp._soft_prox) with two restrictions (both the
-    production configuration): rho is fixed for the whole solve
-    (rho_update_every is ignored) and P must be diagonal.
+    weights soft_c, see qp._soft_prox) with one restriction: P must be
+    diagonal. OSQP-style adaptive rho (settings.rho_update_every > 0) runs
+    as CHUNKED dispatch — the kernel executes rho_update_every iterations
+    per launch with rho fixed in VMEM, and between launches the host
+    rescales per-problem rho by the residual ratio and refactors the
+    banded KKT system (same update rule as the XLA paths; the update
+    cadence is exactly the chunk boundary, so it matches the XLA path when
+    check_every divides rho_update_every).
     """
     if P_diag.ndim == 3:
         raise NotImplementedError(
@@ -563,23 +570,27 @@ def _solve_impl(
 
     pat_c = _rho_pattern(lc, uc, settings)
     pat_x = _rho_pattern(lx, ux, settings)
-    rc = settings.rho * pat_c
-    rx = settings.rho * pat_x
-    # soft-row shrink thresholds (rho is fixed for the kernel's duration,
-    # so thr = soft_s / rc is a constant operand)
     if soft_c is None:
-        thr = jnp.full((B, m), _HARD, dt) / rc
+        soft_s = jnp.full((B, m), _HARD, dt)
     else:
         soft_c = soft_c.astype(dt)
-        thr = jnp.where(soft_c > 0, soft_c / E, _HARD) / rc
+        soft_s = jnp.where(soft_c > 0, soft_c / E, _HARD)
 
     # ---- banded factorization (node-level, kernel form) ----
-    w = E * E * rc
-    w_eq = w[:, : ocp.num_eq].reshape(B, -1, K, nx)
-    w_g = w[:, ocp.num_eq :].reshape(B, nodes, -1)
-    sig = Ps + jnp.asarray(settings.sigma, dt) + rx
-    Mband, p_col, m_pp = assemble_banded_M(ocp, sa, w_eq, w_g, D, sig)
-    fac = factor_banded(Mband, p_col, m_pp, g["bw"])
+    num_eq = ocp.num_eq
+
+    def factor(rho_s):
+        rc = rho_s[:, None] * pat_c
+        rx = rho_s[:, None] * pat_x
+        w = E * E * rc
+        w_eq = w[:, :num_eq].reshape(B, -1, K, nx)
+        w_g = w[:, num_eq:].reshape(B, nodes, -1)
+        sig = Ps + jnp.asarray(settings.sigma, dt) + rx
+        Mband, p_col, m_pp = assemble_banded_M(ocp, sa, w_eq, w_g, D, sig)
+        return factor_banded(Mband, p_col, m_pp, g["bw"]), rc, rx
+
+    rho_s = jnp.full((B,), settings.rho, dt)
+    fac, rc, rx = factor(rho_s)
 
     # ---- initial state ----
     x = jnp.zeros((B, n), dt) if x0 is None else (x0 / D).astype(dt)
@@ -590,6 +601,7 @@ def _solve_impl(
     Ax0 = (E * apply_A(ocp, sa, D * x)).astype(dt)
     zc = jnp.clip(Ax0, lcs, ucs)
     zx = jnp.clip(x, lxs, uxs)
+    done = jnp.zeros((B,), jnp.int32)
 
     # ---- pad the batch to a lane multiple (dummies enter done=3) ----
     nb = -(-B // lanes)
@@ -607,39 +619,12 @@ def _solve_impl(
 
     cl = functools.partial(_chunk_lane_major, nb=nb, lanes=lanes)
 
-    operands = [
-        cl(pad(fac["Ldi"])),
-        cl(pad(jnp.moveaxis(fac["Lsub"], 2, 1))),  # (B, bw, N, blk, blk)
-        cl(pad(fac["u"])),
-        cl(pad(fac["s"], 1.0)[:, None]),  # 1.0: divide-safe dummy lanes
-        cl(pad(Jt)),
-        cl(pad(f_seg)),
-        cl(pad(sa.p)[:, None]),
-    ]
-    xvals = dict(
-        qs=qs, Ps=Ps, rx=rx, lxs=lxs, uxs=uxs, D=D, x0=x, zx0=zx, yx0=yx
-    )
-    # divide-safe padding for scale-like operands
-    fills = dict(rx=1.0, D=1.0, uxs=1.0, lxs=-1.0)
-    for name in _X_OPS:
-        pieces = _split_z(ocp, pad(xvals[name], fills.get(name, 0.0)))
-        operands += [cl(pieces["X"]), cl(pieces["U"]), cl(pieces["p"])]
-    mvals = dict(rc=rc, lcs=lcs, ucs=ucs, E=E, thr=thr, zc0=zc, yc0=yc)
-    mfills = dict(rc=1.0, E=1.0, ucs=1.0, lcs=-1.0, thr=1.0)
-    for name in _M_OPS:
-        eqp, gp = _split_m(ocp, pad(mvals[name], mfills.get(name, 0.0)))
-        operands += [cl(eqp), cl(gp)]
-    done0 = jnp.zeros((B,), jnp.int32)
-    operands.append(cl(pad(done0, 3)[:, None]))
-
     def spec(a):
         nd = a.ndim - 1
         return pl.BlockSpec(
             (1, *a.shape[1:]), lambda i, _nd=nd: (i,) + (0,) * _nd,
             memory_space=pltpu.VMEM,
         )
-
-    in_specs = [spec(a) for a in operands]
 
     # outputs: x(3), zc(2), zx(3), yc(2), yx(3), done, iters, rp, rd
     npc = 3
@@ -662,55 +647,164 @@ def _solve_impl(
         for s in out_shapes
     ]
 
-    kernel = functools.partial(
-        _structured_kernel,
-        g=g,
-        max_iter=settings.max_iter,
-        check_every=settings.check_every,
-        eps_abs=settings.eps_abs,
-        eps_rel=settings.eps_rel,
-        sigma=settings.sigma,
-        alpha=settings.alpha,
-        kkt_refine=settings.kkt_refine,
-    )
+    def dispatch(fac, rc, rx, x, zc, zx, yc, yx, done, chunk_iters):
+        """One kernel launch of `chunk_iters` ADMM iterations with rho
+        fixed; state carried in scaled f32 z/m-layout."""
+        thr = soft_s / rc
+        operands = [
+            cl(pad(fac["Ldi"])),
+            cl(pad(jnp.moveaxis(fac["Lsub"], 2, 1))),  # (B, bw, N, blk, blk)
+            cl(pad(fac["u"])),
+            cl(pad(fac["s"], 1.0)[:, None]),  # 1.0: divide-safe dummy lanes
+            cl(pad(Jt)),
+            cl(pad(f_seg)),
+            cl(pad(sa.p)[:, None]),
+        ]
+        xvals = dict(
+            qs=qs, Ps=Ps, rx=rx, lxs=lxs, uxs=uxs, D=D, x0=x, zx0=zx, yx0=yx
+        )
+        # divide-safe padding for scale-like operands
+        fills = dict(rx=1.0, D=1.0, uxs=1.0, lxs=-1.0)
+        for name in _X_OPS:
+            pieces = _split_z(ocp, pad(xvals[name], fills.get(name, 0.0)))
+            operands += [cl(pieces["X"]), cl(pieces["U"]), cl(pieces["p"])]
+        mvals = dict(rc=rc, lcs=lcs, ucs=ucs, E=E, thr=thr, zc0=zc, yc0=yc)
+        mfills = dict(rc=1.0, E=1.0, ucs=1.0, lcs=-1.0, thr=1.0)
+        for name in _M_OPS:
+            eqp, gp = _split_m(ocp, pad(mvals[name], mfills.get(name, 0.0)))
+            operands += [cl(eqp), cl(gp)]
+        operands.append(cl(pad(done, 3)[:, None]))
 
-    outs = pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(100 * 1024 * 1024),
-        ),
-        interpret=jax.default_backend() != "tpu",
-    )(*operands)
+        kernel = functools.partial(
+            _structured_kernel,
+            g=g,
+            max_iter=chunk_iters,
+            check_every=settings.check_every,
+            eps_abs=settings.eps_abs,
+            eps_rel=settings.eps_rel,
+            sigma=settings.sigma,
+            alpha=settings.alpha,
+            kkt_refine=settings.kkt_refine,
+        )
 
-    o = iter(outs)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[spec(a) for a in operands],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=int(100 * 1024 * 1024),
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(*operands)
 
-    def takex():
-        d = dict(X=_unchunk(next(o)), U=_unchunk(next(o)), p=_unchunk(next(o)))
-        return _join_z(ocp, d)[:B]
+        o = iter(outs)
 
-    def takem():
-        return _join_m(ocp, _unchunk(next(o)), _unchunk(next(o)))[:B]
+        def takex():
+            d = dict(
+                X=_unchunk(next(o)), U=_unchunk(next(o)), p=_unchunk(next(o))
+            )
+            return _join_z(ocp, d)[:B]
 
-    x = takex()
-    zc = takem()
-    zx = takex()
-    yc = takem()
-    yx = takex()
-    done = _unchunk(next(o))[:B, 0]
-    iters = _unchunk(next(o))[:B, 0]
-    rp = _unchunk(next(o))[:B, 0]
-    rd = _unchunk(next(o))[:B, 0]
+        def takem():
+            return _join_m(ocp, _unchunk(next(o)), _unchunk(next(o)))[:B]
+
+        x = takex()
+        zc = takem()
+        zx = takex()
+        yc = takem()
+        yx = takex()
+        done = _unchunk(next(o))[:B, 0]
+        used = _unchunk(next(o))[:B, 0]
+        rp = _unchunk(next(o))[:B, 0]
+        rd = _unchunk(next(o))[:B, 0]
+        return x, zc, zx, yc, yx, done, used, rp, rd
+
+    # scaled operator applies for the host-side rho ratio (identical
+    # formulas to qp_structured.residuals; one apply pair per boundary)
+    def matA(v):
+        return (E * apply_A(ocp, sa, D * v)).astype(dt)
+
+    def matAT(w_):
+        return (D * apply_AT(ocp, sa, E * w_)).astype(dt)
+
+    def residual_ratio(x, zc, zx, yc, yx):
+        Ax = matA(x)
+        r_prim = jnp.maximum(
+            jnp.max(jnp.abs((Ax - zc) / E), axis=-1),
+            jnp.max(jnp.abs(D * (x - zx)), axis=-1),
+        )
+        Aty = matAT(yc)
+        r_dual = jnp.max(jnp.abs((Ps * x + qs + Aty + yx) / D), axis=-1)
+        scale_p = jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(Ax / E), axis=-1),
+                jnp.max(jnp.abs(zc / E), axis=-1),
+            ),
+            jnp.maximum(
+                jnp.max(jnp.abs(D * x), axis=-1),
+                jnp.max(jnp.abs(D * zx), axis=-1),
+            ),
+        )
+        scale_d = jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(Ps * x / D), axis=-1),
+                jnp.max(jnp.abs(qs / D), axis=-1),
+            ),
+            jnp.maximum(
+                jnp.max(jnp.abs(Aty / D), axis=-1),
+                jnp.max(jnp.abs(yx / D), axis=-1),
+            ),
+        )
+        return jnp.sqrt(
+            (r_prim / jnp.maximum(scale_p, 1e-12))
+            / jnp.maximum(r_dual / jnp.maximum(scale_d, 1e-12), 1e-12)
+        )
+
+    if settings.rho_update_every > 0:
+        chunk = settings.rho_update_every
+    else:
+        chunk = settings.max_iter
+    n_chunks = -(-settings.max_iter // chunk)
+
+    total_used = jnp.zeros((B,), jnp.int32)
+    rp = jnp.zeros((B,), dt)
+    rd = jnp.zeros((B,), dt)
+    for c in range(n_chunks):
+        iters_c = min(chunk, settings.max_iter - c * chunk)
+        x, zc, zx, yc, yx, done, used, rp_c, rd_c = dispatch(
+            fac, rc, rx, x, zc, zx, yc, yx, done, iters_c
+        )
+        total_used = total_used + used
+        # rp/rd only refresh for problems still active in this chunk
+        rp = jnp.where(used > 0, rp_c, rp)
+        rd = jnp.where(used > 0, rd_c, rd)
+        if c < n_chunks - 1 and settings.rho_update_every > 0:
+            ratio = residual_ratio(x, zc, zx, yc, yx)
+            want = (done == 0) & ((ratio > 5.0) | (ratio < 0.2))
+            rho_new = jnp.where(
+                want,
+                jnp.clip(rho_s * ratio, settings.rho_min, settings.rho_max),
+                rho_s,
+            )
+
+            def refactor(_):
+                return factor(rho_new)[0]
+
+            fac = jax.lax.cond(
+                jnp.any(want), refactor, lambda _: fac, operand=None
+            )
+            rho_s = rho_new
+            rc = rho_s[:, None] * pat_c
+            rx = rho_s[:, None] * pat_x
 
     return QPSolution(
         x=D * x,
         y_constraints=E * yc,
         y_box=yx / D,
         converged=done == 1,
-        iterations=iters,
+        iterations=total_used,
         prim_residual=rp,
         dual_residual=rd,
     )

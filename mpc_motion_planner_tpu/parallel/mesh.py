@@ -12,6 +12,7 @@ which ride ICI.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -20,6 +21,60 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 BATCH_AXIS = "batch"
+
+
+def initialize_multihost(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    local_device_count: Optional[int] = None,
+):
+    """Join an N-host data-parallel job: `jax.distributed` wiring.
+
+    Call BEFORE any other JAX device use (the coordination service and the
+    device topology are fixed at backend initialization). After it returns,
+    ``jax.devices()`` is the GLOBAL device list across all processes and
+    :func:`make_mesh` builds the global batch mesh; every process runs the
+    same program SPMD over its local shard (scale-out semantics per
+    SURVEY.md §2.3 — the only cross-host communication is the psum-style
+    metric reductions, which XLA lowers onto DCN/ICI collectives).
+
+    On real TPU pods each process autodetects its local chips. For CPU
+    simulation/tests (SURVEY.md §4), pass ``local_device_count`` to give
+    every process that many virtual host devices; cross-process CPU
+    collectives use the gloo backend.
+    """
+    if local_device_count is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{local_device_count}"
+        )
+        # virtual host devices imply the CPU platform; gloo is the only
+        # cross-process CPU collective implementation
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def shard_batch_multihost(mesh: Mesh, tree, axis_name: str = BATCH_AXIS):
+    """Assemble global batch-sharded arrays from PER-PROCESS local data.
+
+    Every process passes its local (B_local, ...) slice; the returned
+    arrays are global jax.Arrays of shape (num_processes * B_local, ...)
+    sharded over `axis_name`, ready for the jitted solve fns below.
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, np.asarray(a)
+        ),
+        tree,
+    )
 
 
 def make_mesh(devices=None, axis_name: str = BATCH_AXIS) -> Mesh:

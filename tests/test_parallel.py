@@ -137,3 +137,35 @@ def test_graft_entry_compiles():
     lowered = jax.jit(fn).lower(*args)
     compiled = lowered.compile()
     assert compiled is not None
+
+
+def test_multihost_two_process_mesh():
+    """N>=2 host processes (SURVEY §2.3 / BASELINE north star): two
+    jax.distributed CPU processes with 2 virtual devices each form a
+    global 4-device mesh; the sharded solve + psum'd stats must match a
+    locally computed all-batch reference in each process (see
+    tests/multihost_worker.py)."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, "localhost:12921", "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"MULTIHOST_OK pid={pid}" in out
