@@ -46,7 +46,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from mpc_motion_planner_tpu.bench.analysis import accuracy_stats, violation_counts
+    from mpc_motion_planner_tpu.bench.analysis import (
+        accuracy_stats,
+        violation_counts,
+        violation_magnitudes,
+    )
     from mpc_motion_planner_tpu.bench.harness import benchmark_records, chain_states
     from mpc_motion_planner_tpu.ops.qp import QPSettings
     from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
@@ -97,6 +101,13 @@ def main():
     print(f"\ntotal: {args.n} solves in {t_total:.2f}s = {args.n / t_total:.1f} solves/s")
     print("\nviolation counts (of", args.n, "trajectories):")
     print(json.dumps(violation_counts(records, planner.limits, planner.margins), indent=2))
+    print("\nviolation magnitudes (worst overshoot per trajectory):")
+    print(
+        json.dumps(
+            violation_magnitudes(records, planner.limits, planner.margins),
+            indent=2,
+        )
+    )
     print("\naccuracy:")
     print(json.dumps(accuracy_stats(records), indent=2))
 

@@ -94,6 +94,59 @@ def violation_counts(records: np.ndarray, limits, margins) -> Dict[str, Dict[str
     return out
 
 
+def violation_magnitudes(records, limits, margins) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """Worst-case violation magnitudes per extremum category (the
+    counts in :func:`violation_counts` say how OFTEN a box is exceeded;
+    this says by HOW MUCH). For each trajectory, the largest overshoot of
+    the margin-scaled box across joints; reported as p50/p99/max over the
+    batch, plus the max relative to the per-joint limit. Complements the
+    notebook's binary counts with the worst-case tracking the
+    infeasible-warm-start failure mode needs (the overshoots bound the
+    damage the l1 elastic rows allow)."""
+    d = decode(records)
+    lo_q = np.asarray(limits.min_position)
+    hi_q = np.asarray(limits.max_position)
+    safety = (1.0 - margins.position) * (hi_q - lo_q) / 2.0
+    box = {
+        "position": (lo_q + safety, hi_q - safety, slice(0, 7)),
+        "velocity": (
+            -margins.velocity * np.asarray(limits.max_velocity),
+            margins.velocity * np.asarray(limits.max_velocity),
+            slice(7, 14),
+        ),
+        "acceleration": (
+            -margins.acceleration * np.asarray(limits.max_acceleration),
+            margins.acceleration * np.asarray(limits.max_acceleration),
+            slice(14, 21),
+        ),
+        "torque": (
+            -margins.torque * np.asarray(limits.max_torque),
+            margins.torque * np.asarray(limits.max_torque),
+            slice(21, 28),
+        ),
+    }
+    out: Dict[str, Dict[str, Dict[str, float]]] = {}
+    for planner_name, mn, mx in (
+        ("ruckig", d["min_rk"], d["max_rk"]),
+        ("mpc", d["min_mpc"], d["max_mpc"]),
+    ):
+        stats = {}
+        for cat, (lo, hi, cols) in box.items():
+            over = np.maximum(mx[:, cols] - hi, 0.0) + np.maximum(
+                lo - mn[:, cols], 0.0
+            )
+            worst = over.max(axis=1)  # (n,) per-trajectory worst joint
+            span = np.maximum(np.abs(hi), np.abs(lo))
+            stats[cat] = {
+                "p50": float(np.percentile(worst, 50)),
+                "p99": float(np.percentile(worst, 99)),
+                "max": float(worst.max()),
+                "rel_max": float((over / span).max()),
+            }
+        out[planner_name] = stats
+    return out
+
+
 def accuracy_stats(records: np.ndarray) -> Dict[str, Dict[str, float]]:
     """Final-state error statistics (notebook cells 4-5)."""
     d = decode(records)

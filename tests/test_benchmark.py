@@ -102,6 +102,19 @@ def test_analysis_summaries(small_run, planner):
     assert stats["ruckig"]["pos_err_p50"] < 0.3
     assert 0.0 <= stats["mpc"]["within_tolerance"] <= 1.0
 
+    from mpc_motion_planner_tpu.bench.analysis import violation_magnitudes
+
+    mags = violation_magnitudes(np.asarray(rec), planner.limits, planner.margins)
+    for p in ("ruckig", "mpc"):
+        for cat in ("position", "velocity", "acceleration", "torque"):
+            s = mags[p][cat]
+            assert 0.0 <= s["p50"] <= s["p99"] <= s["max"]
+            assert s["rel_max"] >= 0.0
+        # a category with zero violation count must have zero magnitude
+        for cat in ("position", "velocity", "acceleration", "torque"):
+            if counts[p][cat] == 0:
+                assert mags[p][cat]["max"] <= 1e-6
+
 
 def test_io_roundtrip(tmp_path, small_run):
     from mpc_motion_planner_tpu.utils.io import (
