@@ -50,6 +50,13 @@ VARIANTS = {
     "rho0.02": dict(rho=0.02, kkt_refine=1),
     "eq300": dict(rho_eq_scale=300.0, kkt_refine=1),
     "it1400_r1": dict(max_iter=1400, kkt_refine=1),
+    # l1 elastic variable box (SQPSettings.box_slack_penalty): the fix the
+    # base diagnosis points at — the unconverged QPs plateau on the U-box
+    # primal residual (structurally primal-infeasible linearizations).
+    "boxslack3": dict(box_slack=3.0),
+    "boxslack10": dict(box_slack=10.0),
+    "boxslack30": dict(box_slack=30.0),
+    "boxslack10_r1": dict(box_slack=10.0, kkt_refine=1),
 }
 
 
@@ -60,6 +67,7 @@ def qp_stats(planner, cur, tgt, qp_kw):
     settings = planner.sqp_settings
     kw = dict(backend="structured", rho_update_every=0)
     kw.update(qp_kw)
+    box_slack = kw.pop("box_slack", 0.0)
     qp_settings = QPSettings(**kw)
 
     traj = planner.plan_warm_start(cur, tgt)
@@ -81,6 +89,14 @@ def qp_stats(planner, cur, tgt, qp_kw):
         )
     else:
         soft_c = None
+    if box_slack > 0:
+        n_s, nx_, nu_ = ocp.num_nodes, ocp.nx, ocp.nu
+        wx = jnp.zeros((n,), dt)
+        wx = wx.at[nx_ : (n_s - 1) * nx_].set(box_slack)
+        wx = wx.at[n_s * nx_ : n_s * (nx_ + nu_)].set(box_slack)
+        soft_x = jnp.broadcast_to(wx, (B, n))
+    else:
+        soft_x = None
 
     @jax.jit
     def run(z0):
@@ -103,7 +119,7 @@ def qp_stats(planner, cur, tgt, qp_kw):
                 ux = ub_var - z
                 qp = solve_box_qp_structured(
                     ocp, sa, P_diag, h, lc, uc, lx, ux, qp_settings,
-                    yc0=lam_c, yx0=lam_x, soft_c=soft_c,
+                    yc0=lam_c, yx0=lam_x, soft_c=soft_c, soft_x=soft_x,
                 )
                 # split the primal infeasibility of the returned iterate by
                 # row group: eq (defect) rows vs ineq rows vs variable box

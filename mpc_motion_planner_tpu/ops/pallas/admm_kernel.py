@@ -107,8 +107,8 @@ def _admm_kernel(
     mat_refs = refs[:n_mats]
     (
         P_ref, q_ref, lc_ref, uc_ref, lx_ref, ux_ref, rc_ref, rx_ref,
-        D_ref, E_ref, sc_ref, x0_ref, zc0_ref, zx0_ref, yc0_ref, yx0_ref,
-        done0_ref,
+        D_ref, E_ref, sc_ref, sx_ref, x0_ref, zc0_ref, zx0_ref, yc0_ref,
+        yx0_ref, done0_ref,
         x_out, zc_out, zx_out, yc_out, yx_out, done_out, used_out,
     ) = refs[n_mats:]
 
@@ -119,7 +119,10 @@ def _admm_kernel(
     lx, ux = lx_ref[0], ux_ref[0]
     rc, rx = rc_ref[0], rx_ref[0]
     D, E = D_ref[0], E_ref[0]
-    thr = sc_ref[0] / rc  # soft-row shrink thresholds (hard rows: huge)
+    # soft-row shrink thresholds (hard rows: huge finite; capped so the
+    # 1e20/rc quotient can't overflow f32 to inf inside VMEM)
+    thr = jnp.minimum(sc_ref[0] / rc, 1e20)
+    thr_x = jnp.minimum(sx_ref[0] / rx, 1e20)
 
     prec = (
         jax.lax.Precision.DEFAULT
@@ -256,7 +259,9 @@ def _admm_kernel(
         zc_new = ftz(vc - jnp.clip(vc - boxc, -thr, thr))
         yc_new = ftz(yc + rc * (zc_arg - zc_new))
         zx_arg = alpha * xt + (1.0 - alpha) * zx
-        zx_new = ftz(jnp.clip(zx_arg + yx / rx, lx, ux))
+        vx = zx_arg + yx / rx
+        boxx = jnp.clip(vx, lx, ux)
+        zx_new = ftz(vx - jnp.clip(vx - boxx, -thr_x, thr_x))
         yx_new = ftz(yx + rx * (zx_arg - zx_new))
 
         keep = done > 0  # (G, 1) broadcasts over (G, PAD)
@@ -355,8 +360,9 @@ def admm_pallas_chunk(
     """Run one fused chunk of ADMM iterations.
 
     operands: dict with padded M_inv/A (B, PAD, PAD) f32 and (B, PAD)
-    vector P, q, lc, uc, lx, ux, rc, rx, D, E, sc (all float32; sc =
-    scaled soft-row penalty weights, qp._HARD stand-in for hard rows).
+    vector P, q, lc, uc, lx, ux, rc, rx, D, E, sc, sx (all float32; sc/sx
+    = scaled soft constraint-row / variable-box penalty weights,
+    qp._HARD stand-in for hard rows).
     state: dict with x, zc, zx, yc, yx (B, PAD) and done (B, 1) int32.
     B must be a multiple of `group` (pad with done=1 dummies).
 
@@ -403,7 +409,7 @@ def admm_pallas_chunk(
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[mat_spec] * len(mats) + [vec_spec] * 16 + [scalar_spec],
+        in_specs=[mat_spec] * len(mats) + [vec_spec] * 17 + [scalar_spec],
         out_specs=(vec_spec,) * 5 + (scalar_spec, scalar_spec),
         out_shape=(vec_shape,) * 5 + (scalar_shape, scalar_shape),
         compiler_params=pltpu.CompilerParams(
@@ -428,6 +434,7 @@ def admm_pallas_chunk(
         as_vec(operands["D"]),
         as_vec(operands["E"]),
         as_vec(operands["sc"]),
+        as_vec(operands["sx"]),
         as_vec(state["x"]),
         as_vec(state["zc"]),
         as_vec(state["zx"]),

@@ -118,7 +118,11 @@ def _join_m(ocp, eq, g):
 # ---------------------------------------------------------------------------
 
 # Ordered operand names (all lane-major, leading block dim 1).
-_X_OPS = ("qs", "Ps", "rx", "lxs", "uxs", "D", "x0", "zx0", "yx0")
+# thx: per-variable soft-l1 shrink thresholds soft_xs / rx (qp._soft_prox
+# on the VARIABLE box — the elastic mode that keeps primal-infeasible
+# linearized QPs convergent); hard rows carry the huge finite stand-in
+# and reduce to the box clip.
+_X_OPS = ("qs", "Ps", "rx", "lxs", "uxs", "thx", "D", "x0", "zx0", "yx0")
 # thr: per-row soft-l1 shrink thresholds soft_s / rc (qp._soft_prox);
 # hard rows carry the huge finite stand-in and reduce to the box clip.
 _M_OPS = ("rc", "lcs", "ucs", "E", "thr", "zc0", "yc0")
@@ -384,8 +388,8 @@ def _structured_kernel(
         )
         zx_arg = xmap(lambda a, b: alpha * a + (1 - alpha) * b, xt, zx)
         zx_new = xmap(
-            lambda za, y, r, lo, hi: ftz(jnp.clip(za + y / r, lo, hi)),
-            zx_arg, yx, xop["rx"], xop["lxs"], xop["uxs"],
+            soft_upd,
+            zx_arg, yx, xop["rx"], xop["lxs"], xop["uxs"], xop["thx"],
         )
         yx_new = xmap(
             lambda y, r, za, zn: ftz(y + r * (za - zn)),
@@ -503,13 +507,14 @@ def solve_box_qp_structured_pallas(
     yc0=None,
     yx0=None,
     soft_c=None,
+    soft_x=None,
     lanes: int = 128,
 ) -> QPSolution:
     """Fused-kernel counterpart of qp_structured.solve_box_qp_structured.
 
     Same problem/solution semantics (including the optional soft-row l1
-    weights soft_c, see qp._soft_prox) with one restriction: P must be
-    diagonal. OSQP-style adaptive rho (settings.rho_update_every > 0) runs
+    weights soft_c and soft variable-box weights soft_x, see
+    qp._soft_prox) with one restriction: P must be diagonal. OSQP-style adaptive rho (settings.rho_update_every > 0) runs
     as CHUNKED dispatch — the kernel executes rho_update_every iterations
     per launch with rho fixed in VMEM, and between launches the host
     rescales per-problem rho by the residual ratio and refactors the
@@ -524,12 +529,13 @@ def solve_box_qp_structured_pallas(
     with jax.default_matmul_precision("highest"):
         return _solve_impl(
             ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0,
-            soft_c, lanes,
+            soft_c, soft_x, lanes,
         )
 
 
 def _solve_impl(
-    ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c, lanes
+    ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c,
+    soft_x, lanes,
 ):
     B, n = q.shape
     m = lc.shape[1]
@@ -575,6 +581,11 @@ def _solve_impl(
     else:
         soft_c = soft_c.astype(dt)
         soft_s = jnp.where(soft_c > 0, soft_c / E, _HARD)
+    if soft_x is None:
+        soft_xs = jnp.full((B, n), _HARD, dt)
+    else:
+        soft_x = soft_x.astype(dt)
+        soft_xs = jnp.where(soft_x > 0, soft_x * D, _HARD)
 
     # ---- banded factorization (node-level, kernel form) ----
     num_eq = ocp.num_eq
@@ -650,7 +661,12 @@ def _solve_impl(
     def dispatch(fac, rc, rx, x, zc, zx, yc, yx, done, chunk_iters):
         """One kernel launch of `chunk_iters` ADMM iterations with rho
         fixed; state carried in scaled f32 z/m-layout."""
-        thr = soft_s / rc
+        # cap at _HARD: hard rows have weight 1e20 and rc/rx can be < 1,
+        # and 1e20/0.1 overflows f32 to inf — which must never enter VMEM
+        # (the special-value slow-path hazard). The cap is semantically
+        # free: no iterate magnitude ever approaches 1e20.
+        thr = jnp.minimum(soft_s / rc, _HARD)
+        thx = jnp.minimum(soft_xs / rx, _HARD)
         operands = [
             cl(pad(fac["Ldi"])),
             cl(pad(jnp.moveaxis(fac["Lsub"], 2, 1))),  # (B, bw, N, blk, blk)
@@ -661,10 +677,11 @@ def _solve_impl(
             cl(pad(sa.p)[:, None]),
         ]
         xvals = dict(
-            qs=qs, Ps=Ps, rx=rx, lxs=lxs, uxs=uxs, D=D, x0=x, zx0=zx, yx0=yx
+            qs=qs, Ps=Ps, rx=rx, lxs=lxs, uxs=uxs, thx=thx, D=D,
+            x0=x, zx0=zx, yx0=yx,
         )
         # divide-safe padding for scale-like operands
-        fills = dict(rx=1.0, D=1.0, uxs=1.0, lxs=-1.0)
+        fills = dict(rx=1.0, D=1.0, uxs=1.0, lxs=-1.0, thx=1.0)
         for name in _X_OPS:
             pieces = _split_z(ocp, pad(xvals[name], fills.get(name, 0.0)))
             operands += [cl(pieces["X"]), cl(pieces["U"]), cl(pieces["p"])]

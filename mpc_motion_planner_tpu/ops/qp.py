@@ -186,7 +186,7 @@ def _ruiz_equilibrate(A, iters: int):
 
 
 def _solve_pallas(
-    As, Ps, qs, lcs, ucs, lxs, uxs, pat_c, pat_x, soft_s, rho0, D, E,
+    As, Ps, qs, lcs, ucs, lxs, uxs, pat_c, pat_x, soft_s, soft_xs, rho0, D, E,
     factor, M_inv0, x, yc, yx, settings: QPSettings, dt,
 ) -> QPSolution:
     """Chunked fused-kernel path: VMEM-resident iteration chunks with
@@ -240,6 +240,7 @@ def _solve_pallas(
         "D": bp_vec_ones(pk.pad_vec_ones(to32(D))),
         "E": bp_vec_ones(pk.pad_vec_ones(to32(E))),
         "sc": bp_vec_ones(pk.pad_vec_ones(to32(soft_s))),
+        "sx": bp_vec_ones(pk.pad_vec_ones(to32(soft_xs))),
     }
     rho_s = rho0
 
@@ -352,6 +353,7 @@ def solve_box_qp(
     yc0=None,
     yx0=None,
     soft_c=None,
+    soft_x=None,
 ) -> QPSolution:
     """Solve a batch of box QPs:  min 1/2 x^T P x + q^T x
     s.t. lc <= A x <= uc,  lx <= x <= ux.
@@ -369,6 +371,19 @@ def solve_box_qp(
     z-update — see :func:`_soft_prox`); rows with 0 stay hard. Soft-row
     duals are bounded by their weight, so primal-infeasible QPs cannot
     diverge through those rows.
+
+    soft_x: optional (B, n) per-VARIABLE l1 penalty weights: the same
+    elastic relaxation applied to the variable box lx <= x <= ux
+    (SNOPT-style elastic mode on the bound rows). The planner uses it on
+    the control/interior-state boxes: a warm start whose defect residual
+    cannot be corrected within the pinned endpoints without exceeding the
+    margin-scaled acceleration box makes the linearized QP structurally
+    primal-infeasible — no iteration budget or rho schedule converges it
+    (measured, experiments/conv_diag.py; the unconverged ~18% of chain QPs
+    all plateau on the U-box primal residual). Softening those rows
+    restores convergence while the exact-penalty property keeps feasible
+    solves bitwise-unaffected whenever the weight exceeds the row's
+    optimal box dual.
     """
     B, m, n = A.shape
     dt = q.dtype
@@ -395,12 +410,14 @@ def solve_box_qp(
     # for everything traced inside the solver.
     with jax.default_matmul_precision("highest"):
         return _solve_box_qp_impl(
-            P_diag, q, A, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c
+            P_diag, q, A, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c,
+            soft_x,
         )
 
 
 def _solve_box_qp_impl(
-    P_diag, q, A, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c=None
+    P_diag, q, A, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c=None,
+    soft_x=None,
 ) -> QPSolution:
     B, m, n = A.shape
     dt = q.dtype
@@ -429,6 +446,12 @@ def _solve_box_qp_impl(
     else:
         soft_c = soft_c.astype(dt)
         soft_s = jnp.where(soft_c > 0, soft_c / E, _HARD)
+    # variable-box weights scale by D (unscaled box distance = D * scaled)
+    if soft_x is None:
+        soft_xs = jnp.full((B, n), _HARD, dt)
+    else:
+        soft_x = soft_x.astype(dt)
+        soft_xs = jnp.where(soft_x > 0, soft_x * D, _HARD)
     sigma = jnp.asarray(settings.sigma, dt)
     alpha = jnp.asarray(settings.alpha, dt)
     rho0 = jnp.full((B,), settings.rho, dt)
@@ -471,8 +494,8 @@ def _solve_box_qp_impl(
 
     if settings.backend == "pallas":
         return _solve_pallas(
-            As, Ps, qs, lcs, ucs, lxs, uxs, pat_c, pat_x, soft_s, rho0, D, E,
-            factor, M_inv0, x, yc, yx, settings, dt,
+            As, Ps, qs, lcs, ucs, lxs, uxs, pat_c, pat_x, soft_s, soft_xs,
+            rho0, D, E, factor, M_inv0, x, yc, yx, settings, dt,
         )
     zc = jnp.clip(jnp.einsum("bmn,bn->bm", As, x), lcs, ucs)
     zx = jnp.clip(x, lxs, uxs)
@@ -535,10 +558,14 @@ def _solve_box_qp_impl(
 
         x_new = alpha * xt + (1.0 - alpha) * x
         zc_arg = alpha * zt_c + (1.0 - alpha) * zc
-        zc_new = _soft_prox(zc_arg + yc / rc, lcs, ucs, soft_s / rc)
+        zc_new = _soft_prox(
+            zc_arg + yc / rc, lcs, ucs, jnp.minimum(soft_s / rc, _HARD)
+        )
         yc_new = yc + rc * (zc_arg - zc_new)
         zx_arg = alpha * xt + (1.0 - alpha) * zx
-        zx_new = jnp.clip(zx_arg + yx / rx, lxs, uxs)
+        zx_new = _soft_prox(
+            zx_arg + yx / rx, lxs, uxs, jnp.minimum(soft_xs / rx, _HARD)
+        )
         yx_new = yx + rx * (zx_arg - zx_new)
 
         # freeze converged problems at their termination point

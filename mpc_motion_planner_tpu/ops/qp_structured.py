@@ -588,20 +588,23 @@ def solve_box_qp_structured(
     yc0=None,
     yx0=None,
     soft_c=None,
+    soft_x=None,
 ) -> QPSolution:
     """Matrix-free counterpart of qp.solve_box_qp for the transcribed-OCP
     constraint operator. Same problem, settings and solution semantics
-    (including the optional soft-row l1 weights soft_c, qp._soft_prox);
-    `A` is given structurally (sa) instead of densely."""
+    (including the optional soft-row l1 weights soft_c and the soft
+    variable-box weights soft_x, qp._soft_prox); `A` is given structurally
+    (sa) instead of densely."""
     with jax.default_matmul_precision("highest"):
         return _solve_structured_impl(
             ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0,
-            soft_c,
+            soft_c, soft_x,
         )
 
 
 def _solve_structured_impl(
-    ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c=None
+    ocp, sa, P_diag, q, lc, uc, lx, ux, settings, x0, yc0, yx0, soft_c=None,
+    soft_x=None,
 ) -> QPSolution:
     B, n = q.shape
     m = lc.shape[1]
@@ -632,6 +635,11 @@ def _solve_structured_impl(
     else:
         soft_c = soft_c.astype(dt)
         soft_s = jnp.where(soft_c > 0, soft_c / E, _HARD)
+    if soft_x is None:
+        soft_xs = jnp.full((B, n), _HARD, dt)
+    else:
+        soft_x = soft_x.astype(dt)
+        soft_xs = jnp.where(soft_x > 0, soft_x * D, _HARD)
     sigma = jnp.asarray(settings.sigma, dt)
     alpha = jnp.asarray(settings.alpha, dt)
     rho0 = jnp.full((B,), settings.rho, dt)
@@ -714,10 +722,14 @@ def _solve_structured_impl(
 
         x_new = alpha * xt + (1.0 - alpha) * x
         zc_arg = alpha * zt_c + (1.0 - alpha) * zc
-        zc_new = _soft_prox(zc_arg + yc / rc, lcs, ucs, soft_s / rc)
+        zc_new = _soft_prox(
+            zc_arg + yc / rc, lcs, ucs, jnp.minimum(soft_s / rc, _HARD)
+        )
         yc_new = yc + rc * (zc_arg - zc_new)
         zx_arg = alpha * xt + (1.0 - alpha) * zx
-        zx_new = jnp.clip(zx_arg + yx / rx, lxs, uxs)
+        zx_new = _soft_prox(
+            zx_arg + yx / rx, lxs, uxs, jnp.minimum(soft_xs / rx, _HARD)
+        )
         yx_new = yx + rx * (zx_arg - zx_new)
 
         keep = done[:, None]

@@ -63,6 +63,30 @@ class SQPSettings:
     # (the old slack columns entered A and degraded it: mu=100 doubled
     # median violation; the prox threshold never touches A).
     slack_penalty: float = dataclasses.field(default=10.0, metadata={"static": True})
+    # l1 elastic relaxation of the VARIABLE box on the controls and the
+    # interior states (SNOPT-style elastic mode, qp._soft_prox on the
+    # zx-update). Why: the unconverged ~18% of chained-workload QPs are
+    # structurally primal-infeasible — correcting the warm start's defect
+    # residual within the pinned endpoints demands more control authority
+    # than the margin-scaled acceleration box allows, so the U-box primal
+    # residual plateaus and NO iteration budget / rho schedule converges
+    # (measured, experiments/conv_diag.py; doubling the budget to 1400
+    # iterations changes nothing). Softening those rows makes every
+    # linearized QP feasible; the exact-penalty property leaves feasible
+    # solves unchanged (weight > the rows' optimal box duals). The pinned
+    # node-0 state, the terminal +-1e-2 box and the t_f parameter stay
+    # HARD — target accuracy semantics are untouched, and the returned
+    # iterate is still clipped to the full box after the last SQP step.
+    # Weight 3.0 measured best on the B=256 chained workload
+    # (experiments/conv_diag.py): conv 0.77/0.82 -> 0.90/1.00 per SQP
+    # step AND better solution quality (l1 violation p90 6.9 -> 5.5, max
+    # 25.1 -> 20.4 — a stalled ADMM returns a poorer step than a
+    # converged relaxed one); 10.0 matches step0 but loses step1 (0.98),
+    # 30.0 degrades both (0.88/0.94, max viol 30). 0 disables (reference
+    # behavior).
+    box_slack_penalty: float = dataclasses.field(
+        default=3.0, metadata={"static": True}
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -201,6 +225,20 @@ def _sqp_solve_impl(
     else:
         soft_c = None
 
+    # ---- l1 elastic variable box (see SQPSettings.box_slack_penalty):
+    # soft on the interior X nodes (1 .. nodes-2) and ALL U rows; hard on
+    # the pinned node-0 state, the terminal-box node and the parameter p.
+    if settings.box_slack_penalty > 0:
+        nodes, nx_, nu_ = ocp.num_nodes, ocp.nx, ocp.nu
+        wx = jnp.zeros((ocp.num_var,), dt)
+        wx = wx.at[nx_ : (nodes - 1) * nx_].set(settings.box_slack_penalty)
+        wx = wx.at[nodes * nx_ : nodes * (nx_ + nu_)].set(
+            settings.box_slack_penalty
+        )
+        soft_x = jnp.broadcast_to(wx, (B, ocp.num_var))
+    else:
+        soft_x = None
+
     structured = qp_settings.backend in ("structured", "structured_pallas")
     if qp_settings.backend == "structured_pallas":
         from .pallas.structured_admm import solve_box_qp_structured_pallas
@@ -236,12 +274,12 @@ def _sqp_solve_impl(
         if structured:
             qp: QPSolution = structured_solver(
                 ocp, sa, P_diag, h, lc, uc, lx, ux, qp_settings,
-                yc0=lam_c, yx0=lam_x, soft_c=soft_c,
+                yc0=lam_c, yx0=lam_x, soft_c=soft_c, soft_x=soft_x,
             )
         else:
             qp = solve_box_qp(
                 P_diag, h, A, lc, uc, lx, ux, qp_settings,
-                yc0=lam_c, yx0=lam_x, soft_c=soft_c,
+                yc0=lam_c, yx0=lam_x, soft_c=soft_c, soft_x=soft_x,
             )
         d = qp.x
         y_box = qp.y_box

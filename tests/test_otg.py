@@ -236,3 +236,95 @@ class TestBoundaryAccelerations:
                 np.testing.assert_allclose(
                     np.asarray(x), np.asarray(y), atol=1e-10
                 )
+
+
+def _lp_min_time(dp, v0, vf, a0, af, vmax, amax, jmax, N=140, iters=22):
+    """Discretized min-time ORACLE: bisect duration over a jerk-limited
+    feasibility LP (trapezoidal collocation on (a, v, p)). Independent of
+    the OTG implementation — certifies (to discretization accuracy) the
+    true time-optimal duration for arbitrary boundary accelerations, the
+    case where the prologue/epilogue reduction is only heuristically
+    optimal (otg.py module docstring; Ruckig enumerates profile types
+    instead, /root/reference/mpc_solver/motionPlanner.hpp:35-37)."""
+    from scipy.optimize import linprog
+
+    n = N + 1
+    nv = 3 * n
+    ai = lambda k: k
+    vi = lambda k: n + k
+    pi = lambda k: 2 * n + k
+
+    def feasible(T):
+        h = T / N
+        A_eq, b_eq = [], []
+
+        def row(entries):
+            r = np.zeros(nv)
+            for i, c in entries:
+                r[i] = c
+            return r
+
+        for k in range(N):
+            A_eq.append(
+                row([(vi(k + 1), 1.0), (vi(k), -1.0), (ai(k), -h / 2), (ai(k + 1), -h / 2)])
+            )
+            b_eq.append(0.0)
+            A_eq.append(
+                row([(pi(k + 1), 1.0), (pi(k), -1.0), (vi(k), -h / 2), (vi(k + 1), -h / 2)])
+            )
+            b_eq.append(0.0)
+        for i, val in (
+            (ai(0), a0), (ai(N), af), (vi(0), v0), (vi(N), vf),
+            (pi(0), 0.0), (pi(N), dp),
+        ):
+            A_eq.append(row([(i, 1.0)]))
+            b_eq.append(val)
+        A_ub, b_ub = [], []
+        for k in range(N):
+            A_ub.append(row([(ai(k + 1), 1.0), (ai(k), -1.0)]))
+            b_ub.append(jmax * h)
+            A_ub.append(row([(ai(k), 1.0), (ai(k + 1), -1.0)]))
+            b_ub.append(jmax * h)
+        bounds = [(-amax, amax)] * n + [(-vmax, vmax)] * n + [(None, None)] * n
+        res = linprog(
+            np.zeros(nv), A_ub=np.array(A_ub), b_ub=np.array(b_ub),
+            A_eq=np.array(A_eq), b_eq=np.array(b_eq), bounds=bounds,
+            method="highs",
+        )
+        return res.status == 0
+
+    lo, hi = 1e-3, 20.0
+    assert feasible(hi)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        if feasible(mid):
+            hi = mid
+        else:
+            lo = mid
+    return hi
+
+
+def test_nonzero_accel_duration_near_optimal():
+    """Bound the suboptimality of the prologue/epilogue reduction for
+    nonzero boundary accelerations against the LP oracle: measured worst
+    ratio 1.07 over random cases (often exactly optimal); assert <= 1.10.
+    Also sanity: our (feasible) profile can never beat the oracle's
+    optimum by more than the discretization error."""
+    rng = np.random.default_rng(0)
+    vmax, amax, jmax = 2.0, 4.0, 30.0
+    worst = 0.0
+    for _ in range(6):
+        dp = rng.uniform(-2, 2)
+        v0, vf = rng.uniform(-1.5, 1.5, 2)
+        a0, af = rng.uniform(-3.5, 3.5, 2)
+        traj = plan_trajectory(
+            jnp.array([0.0]), jnp.array([v0]), jnp.array([dp]), jnp.array([vf]),
+            jnp.array([vmax]), jnp.array([amax]), jnp.array([jmax]),
+            start_acceleration=jnp.array([a0]),
+            target_acceleration=jnp.array([af]),
+        )
+        t_ours = float(traj.duration)
+        t_star = _lp_min_time(dp, v0, vf, a0, af, vmax, amax, jmax)
+        assert t_ours >= t_star * (1 - 0.03), (t_ours, t_star)
+        worst = max(worst, t_ours / t_star)
+    assert worst <= 1.10, worst

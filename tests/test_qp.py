@@ -200,6 +200,83 @@ def test_soft_rows_inactive_when_feasible():
     )
 
 
+def test_soft_box_matches_explicit_slack_oracle():
+    """The variable-box l1 elastic (soft_x) is EXACTLY the slack-variable
+    elastic on the bound rows: min .. + w * dist(x, [lx, ux]) equals the
+    augmented QP with s+, s- >= 0, identity rows x - s+ + s- in [lx, ux]
+    (moved into the A-rows) and linear cost w (s+ + s-)."""
+    B, n, m = 3, 5, 2
+    rng = np.random.default_rng(11)
+    P = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    q = jnp.asarray(rng.normal(size=(B, n)))
+    A = jnp.asarray(rng.normal(size=(B, m, n)))
+    # equality rows that CONTRADICT the tight variable box -> the box must
+    # be violated at the optimum (the planner's primal-infeasible case)
+    lc = jnp.asarray(rng.uniform(1.5, 2.5, (B, m)))
+    uc = lc
+    lx = -0.1 * jnp.ones((B, n))
+    ux = 0.1 * jnp.ones((B, n))
+    w = 0.7
+    soft_x = jnp.full((B, n), w)
+
+    st = QPSettings(eps_abs=1e-7, eps_rel=1e-7, max_iter=8000)
+    got = solve_box_qp(P, q, A, lc, uc, lx, ux, st, soft_x=soft_x)
+    assert bool(jnp.all(got.converged))
+    # soft-box duals are bounded by the weight
+    assert float(jnp.max(jnp.abs(got.y_box))) <= w + 1e-4
+
+    # oracle: identity rows moved to A with explicit slack variables
+    na = n + 2 * n
+    eyeN = jnp.broadcast_to(jnp.eye(n), (B, n, n))
+    P_a = jnp.concatenate([P, jnp.zeros((B, 2 * n))], axis=-1)
+    q_a = jnp.concatenate([q, jnp.full((B, 2 * n), w)], axis=-1)
+    A_a = jnp.concatenate(
+        [
+            jnp.concatenate([A, jnp.zeros((B, m, 2 * n))], axis=-1),
+            jnp.concatenate([eyeN, -eyeN, eyeN], axis=-1),
+        ],
+        axis=1,
+    )
+    lc_a = jnp.concatenate([lc, lx], axis=-1)
+    uc_a = jnp.concatenate([uc, ux], axis=-1)
+    lx_a = jnp.concatenate(
+        [-INF * jnp.ones((B, n)), jnp.zeros((B, 2 * n))], axis=-1
+    )
+    ux_a = INF * jnp.ones((B, na))
+    ref = solve_box_qp(P_a, q_a, A_a, lc_a, uc_a, lx_a, ux_a, st)
+    assert bool(jnp.all(ref.converged))
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x)[:, :n], atol=2e-4
+    )
+    # the paid box violation matches the oracle's slack magnitudes
+    x = np.asarray(got.x)
+    viol = np.maximum(x - np.asarray(ux), 0) + np.maximum(np.asarray(lx) - x, 0)
+    s = np.asarray(ref.x)[:, n:]
+    np.testing.assert_allclose(viol, s[:, :n] + s[:, n:], atol=2e-4)
+
+
+def test_soft_box_inactive_when_feasible():
+    """Exact penalty: on a feasible QP with optimal box duals below the
+    weight, soft-box and hard solves agree."""
+    B, n, m = 2, 4, 2
+    rng = np.random.default_rng(7)
+    P = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    q = jnp.asarray(rng.normal(size=(B, n)))
+    A = jnp.asarray(rng.normal(size=(B, m, n)))
+    lc = -0.5 * jnp.ones((B, m))
+    uc = 0.5 * jnp.ones((B, m))
+    lx, ux = -2.0 * jnp.ones((B, n)), 2.0 * jnp.ones((B, n))
+    st = QPSettings(eps_abs=1e-7, eps_rel=1e-7, max_iter=8000)
+    hard = solve_box_qp(P, q, A, lc, uc, lx, ux, st)
+    soft = solve_box_qp(
+        P, q, A, lc, uc, lx, ux, st, soft_x=jnp.full((B, n), 50.0)
+    )
+    assert bool(jnp.all(hard.converged)) and bool(jnp.all(soft.converged))
+    np.testing.assert_allclose(
+        np.asarray(soft.x), np.asarray(hard.x), atol=1e-4
+    )
+
+
 def test_split3_is_hard_gated(monkeypatch):
     """split3 diverges on real TPU workloads (CLAUDE.md): enabling it must
     raise unless the experiment escape hatch is set."""

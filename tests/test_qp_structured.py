@@ -218,6 +218,48 @@ def test_structured_backend_matches_xla_on_planner_qps(soft):
     )
 
 
+def _planner_soft_x(ocp, B, w=10.0, dt=None):
+    """The SQP's elastic variable-box weights (ops/sqp.py
+    box_slack_penalty): soft interior-X + U rows, hard endpoints/p."""
+    nodes, nx, nu = ocp.num_nodes, ocp.nx, ocp.nu
+    wx = jnp.zeros((ocp.num_var,), dt or jnp.float64)
+    wx = wx.at[nx : (nodes - 1) * nx].set(w)
+    wx = wx.at[nodes * nx : nodes * (nx + nu)].set(w)
+    return jnp.broadcast_to(wx, (B, ocp.num_var))
+
+
+def test_structured_backend_matches_xla_with_soft_box():
+    """soft_x parity: structured vs dense-XLA on real planner QPs with the
+    SQP's elastic variable-box weights active."""
+    from mpc_motion_planner_tpu.ops.qp import solve_box_qp
+
+    ocp, sa, A, P, h, lc, uc, lx, ux, soft_c = _planner_qp_data(B=4, soft=True)
+    soft_x = _planner_soft_x(ocp, 4, dt=P.dtype)
+    settings = QPSettings(max_iter=700, kkt_refine=0)
+    ref = solve_box_qp(
+        P, h, A, lc, uc, lx, ux, settings, soft_c=soft_c, soft_x=soft_x
+    )
+    got = qs.solve_box_qp_structured(
+        ocp, sa, P, h, lc, uc, lx, ux, settings, soft_c=soft_c, soft_x=soft_x
+    )
+    assert bool(jnp.all(got.converged == ref.converged))
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-5, atol=1e-6
+    )
+    # soft-box duals are bounded by the weight on the soft rows
+    soft_rows = np.asarray(soft_x) > 0
+    assert np.abs(np.asarray(got.y_box))[soft_rows].max() <= 10.0 + 1e-3
+    # hard rows (pinned node 0, terminal node, p) still satisfied by the
+    # z-iterate of converged problems to the ADMM tolerance
+    conv = np.asarray(got.converged)
+    if conv.any():
+        x = np.asarray(got.x)
+        viol = np.maximum(x - np.asarray(ux), 0.0) + np.maximum(
+            np.asarray(lx) - x, 0.0
+        )
+        assert (viol * ~soft_rows)[conv].max() < 5e-3
+
+
 def test_structured_backend_solves_planner_qps_to_tolerance():
     ocp, sa, A, P, h, lc, uc, lx, ux, soft_c = _planner_qp_data(B=4, soft=True)
     settings = QPSettings(max_iter=700)
@@ -306,6 +348,42 @@ def test_structured_pallas_kernel_matches_xla_backend(soft):
             else np.ones(viol.shape, bool)
         )
         assert (viol * hard)[conv].max() < 5e-3
+    np.testing.assert_allclose(
+        np.asarray(got.iterations), np.asarray(ref.iterations), atol=26
+    )
+
+
+def test_structured_pallas_kernel_matches_xla_with_soft_box():
+    """soft_x parity for the fused kernel (interpret mode off-TPU)."""
+    from mpc_motion_planner_tpu.ops.pallas.structured_admm import (
+        solve_box_qp_structured_pallas,
+    )
+
+    ocp, sa, A, P, h, lc, uc, lx, ux, soft_c = _planner_qp_data(B=4, soft=True)
+    f32 = jnp.float32
+    sa = structure.StructuredA(
+        p=sa.p.astype(f32), f_rows=sa.f_rows.astype(f32), J=sa.J.astype(f32)
+    )
+    P, h, lc, uc, lx, ux = (a.astype(f32) for a in (P, h, lc, uc, lx, ux))
+    soft_x = _planner_soft_x(ocp, 4, dt=f32)
+    settings = QPSettings(max_iter=700, rho_update_every=0)
+    ref = qs.solve_box_qp_structured(
+        ocp, sa, P, h, lc, uc, lx, ux, settings, soft_c=soft_c, soft_x=soft_x
+    )
+    got = solve_box_qp_structured_pallas(
+        ocp, sa, P, h, lc, uc, lx, ux, settings, soft_c=soft_c,
+        soft_x=soft_x, lanes=8,
+    )
+    assert bool(jnp.all(got.converged == ref.converged))
+    conv = np.asarray(ref.converged)
+    soft_rows = np.asarray(soft_x) > 0
+    assert np.abs(np.asarray(got.y_box))[soft_rows].max() <= 10.0 + 1e-3
+    if conv.any():
+        x = np.asarray(got.x)
+        viol = np.maximum(x - np.asarray(ux), 0.0) + np.maximum(
+            np.asarray(lx) - x, 0.0
+        )
+        assert (viol * ~soft_rows)[conv].max() < 5e-3
     np.testing.assert_allclose(
         np.asarray(got.iterations), np.asarray(ref.iterations), atol=26
     )
