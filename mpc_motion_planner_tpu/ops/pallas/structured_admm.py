@@ -53,6 +53,7 @@ from ..qp_structured import (
     ruiz_structured,
 )
 from ..qp import _HARD, QPSettings, QPSolution, _rho_pattern
+from .banded_factor import factor_banded_pallas
 
 f32 = jnp.float32
 
@@ -588,6 +589,13 @@ def _solve_impl(
         soft_xs = jnp.where(soft_x > 0, soft_x * D, _HARD)
 
     # ---- banded factorization (node-level, kernel form) ----
+    # The factorization itself runs as a lane-major Pallas kernel
+    # (ops/pallas/banded_factor.py): the XLA node-sequential path costs
+    # ~129 ms at B=1024 on v5e — 2.5x the entire 700-iteration fused ADMM
+    # loop — because its 19 batched 22x22 cholesky/trisolve/einsum steps
+    # are per-op-overhead-bound. Breakdown lanes (non-positive pivot,
+    # flagged in-kernel without producing NaN) fall back to the
+    # jitter-guarded XLA factorization.
     num_eq = ocp.num_eq
 
     def factor(rho_s):
@@ -598,7 +606,39 @@ def _solve_impl(
         w_g = w[:, num_eq:].reshape(B, nodes, -1)
         sig = Ps + jnp.asarray(settings.sigma, dt) + rx
         Mband, p_col, m_pp = assemble_banded_M(ocp, sa, w_eq, w_g, D, sig)
-        return factor_banded(Mband, p_col, m_pp, g["bw"]), rc, rx
+
+        if jax.default_backend() != "tpu":
+            # off-TPU (CPU test suite) the interpret-mode factor kernel is
+            # far slower than XLA; use the XLA factorization there — the
+            # kernel itself is parity-tested directly
+            # (tests/test_qp_structured.py::test_pallas_factor_matches_xla).
+            fb = factor_banded(Mband, p_col, m_pp, g["bw"])
+            return {
+                "Ldi": fb["Ldi"].astype(f32),
+                "Lsub_t": jnp.moveaxis(fb["Lsub"], 2, 1).astype(f32),
+                "u": fb["u"].astype(f32),
+                "s": fb["s"].astype(f32),
+            }, rc, rx
+
+        fac_p, ok = factor_banded_pallas(
+            Mband, p_col, m_pp, g["bw"], lanes=lanes
+        )
+
+        def fix(_):
+            fb = factor_banded(Mband, p_col, m_pp, g["bw"])
+            fb_t = {
+                "Ldi": fb["Ldi"].astype(f32),
+                "Lsub_t": jnp.moveaxis(fb["Lsub"], 2, 1).astype(f32),
+                "u": fb["u"].astype(f32),
+                "s": fb["s"].astype(f32),
+            }
+            sel = lambda a, b: jnp.where(
+                ok.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+            )
+            return jax.tree_util.tree_map(sel, fac_p, fb_t)
+
+        fac = jax.lax.cond(jnp.all(ok), lambda _: fac_p, fix, None)
+        return fac, rc, rx
 
     rho_s = jnp.full((B,), settings.rho, dt)
     fac, rc, rx = factor(rho_s)
@@ -669,7 +709,7 @@ def _solve_impl(
         thx = jnp.minimum(soft_xs / rx, _HARD)
         operands = [
             cl(pad(fac["Ldi"])),
-            cl(pad(jnp.moveaxis(fac["Lsub"], 2, 1))),  # (B, bw, N, blk, blk)
+            cl(pad(fac["Lsub_t"])),  # (B, bw, N, blk, blk)
             cl(pad(fac["u"])),
             cl(pad(fac["s"], 1.0)[:, None]),  # 1.0: divide-safe dummy lanes
             cl(pad(Jt)),

@@ -389,6 +389,53 @@ def test_structured_pallas_kernel_matches_xla_with_soft_box():
     )
 
 
+def test_pallas_factor_matches_xla(ocp):
+    """The lane-major Pallas banded-Cholesky factorization (interpret mode
+    off-TPU) matches qp_structured.factor_banded on real planner KKT
+    systems — this is the production TPU factor path (the in-solve code
+    falls back to the XLA factorization off-TPU for test-suite speed)."""
+    from mpc_motion_planner_tpu.ops.pallas.banded_factor import (
+        factor_banded_pallas,
+    )
+
+    B = 3
+    z = _random_z(ocp, jax.random.PRNGKey(6), B)
+    sa = structure.build_structured_A(ocp, z)
+    n = ocp.num_var
+    m = ocp.num_eq + ocp.num_ineq
+    rng = np.random.default_rng(21)
+    D = jnp.asarray(rng.uniform(0.5, 2.0, (B, n)))
+    w = jnp.asarray(rng.uniform(0.1, 3.0, (B, m)))
+    sig = jnp.asarray(rng.uniform(0.5, 1.5, (B, n)))
+    K, nx = ocp.coll.order + 1, ocp.nx
+    w_eq = w[:, : ocp.num_eq].reshape(B, -1, K, nx)
+    w_g = w[:, ocp.num_eq :].reshape(B, ocp.num_nodes, -1)
+    Mband, p_col, m_pp = qs.assemble_banded_M(ocp, sa, w_eq, w_g, D, sig)
+    ref = qs.factor_banded(Mband, p_col, m_pp, ocp.coll.order)
+    fac, ok = factor_banded_pallas(Mband, p_col, m_pp, ocp.coll.order, lanes=4)
+    assert bool(jnp.all(ok))
+    # kernel is f32; ref here is f64 — agreement to f32 rounding
+    np.testing.assert_allclose(
+        np.asarray(fac["Ldi"]), np.asarray(ref["Ldi"]), rtol=2e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fac["Lsub_t"]),
+        np.moveaxis(np.asarray(ref["Lsub"]), 2, 1),
+        rtol=2e-3, atol=2e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fac["u"]), np.asarray(ref["u"]), rtol=2e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(fac["s"]), np.asarray(ref["s"]), rtol=1e-3
+    )
+    # breakdown detection: an indefinite system flags ok=False, not NaN
+    Mbad = Mband.at[:, 0, 0, 0, 0].set(-1.0)
+    fac2, ok2 = factor_banded_pallas(Mbad, p_col, m_pp, ocp.coll.order, lanes=4)
+    assert not bool(jnp.any(ok2))
+    assert bool(jnp.all(jnp.isfinite(fac2["Ldi"])))
+
+
 def test_structured_pallas_batch_padding():
     """B not a multiple of `lanes`: dummies are dropped, results match the
     unpadded run."""
