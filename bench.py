@@ -74,6 +74,12 @@ def main():
     max_iter = int(os.environ.get("BENCH_QP_MAX_ITER", "700"))
     check_every = int(os.environ.get("BENCH_CHECK_EVERY", "25"))
     kkt_factor = os.environ.get("BENCH_KKT_FACTOR", "lu")
+    # Early-exit compaction cadence for the fused structured kernel (see
+    # QPSettings.exit_every): at ~99% convergence most lanes finish in the
+    # first chunks, and compaction confines the stragglers to one 128-lane
+    # program. Use a multiple of check_every for exact single-dispatch
+    # semantics. 0 disables.
+    exit_every = int(os.environ.get("BENCH_EXIT_EVERY", "100"))
 
     def make_run(backend):
         planner = MotionPlanner(
@@ -81,7 +87,7 @@ def main():
             qp_settings=QPSettings(
                 backend=backend, kkt_refine=refine, rho_update_every=rho_every,
                 max_iter=max_iter, check_every=check_every,
-                kkt_factor=kkt_factor,
+                kkt_factor=kkt_factor, exit_every=exit_every,
             ),
         )
 
@@ -136,7 +142,15 @@ def main():
     z, violation, err, qp_conv = out
     best = min(times)
     solves_per_s = batch / best
-    ok = np.asarray(err < 2e-2)
+    # Terminal-accuracy accounting, honestly labeled: the solver's hard
+    # terminal box is ±1e-2 per joint (motionPlanner.hpp:44) but its rows
+    # are only guaranteed to the QP's eps_abs primal tolerance, so the
+    # threshold actually tested is 1e-2 + eps_abs — reported alongside the
+    # measured worst per-joint error so the claim is read off the data.
+    err = np.asarray(err)
+    tol = 1e-2 + 1e-3
+    ok = err <= tol
+    viol = np.asarray(violation)
 
     result = {
         "metric": "solves_per_s",
@@ -148,12 +162,20 @@ def main():
         # amortized per-solve time (batch wall / batch) — NOT a latency
         # percentile; a single solve's wall time is the full batch_wall_s
         "amortized_ms_per_solve": round(1e3 * best / batch, 4),
+        # fraction of solves whose final-node state is inside the terminal
+        # box + QP tolerance (per-joint, threshold = tol_threshold below)
         "tol_hit_rate": round(float(ok.mean()), 4),
-        "median_violation": float(np.median(np.asarray(violation))),
+        "tol_threshold": tol,
+        "terminal_err_inf_max": round(float(err.max()), 6),
+        # l1 violation over all ~900 constraint rows; p90 included because
+        # the median alone hides the heavy tail of the chained workload
+        "median_violation": float(np.median(viol)),
+        "p90_violation": round(float(np.percentile(viol, 90)), 4),
         # fraction of QP subproblems converged within the iteration budget
         "qp_conv_rate": round(float(np.asarray(qp_conv).mean()), 4),
         "qp_max_iter": max_iter,
         "kkt_refine": refine,
+        "exit_every": exit_every,
         "qp_backend": backend,
         "device": str(jax.devices()[0]),
     }

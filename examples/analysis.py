@@ -38,7 +38,11 @@ def main():
     jax.config.update("jax_platforms", "cpu")
 
     from mpc_motion_planner_tpu.bench import plots
-    from mpc_motion_planner_tpu.bench.analysis import accuracy_stats, violation_counts
+    from mpc_motion_planner_tpu.bench.analysis import (
+        accuracy_stats,
+        violation_counts,
+        violation_counts_reference,
+    )
     from mpc_motion_planner_tpu.models.panda import make_panda_limits, make_panda_model
     from mpc_motion_planner_tpu.planner import Margins
     from mpc_motion_planner_tpu.utils.io import read_benchmark_records
@@ -71,8 +75,11 @@ def main():
             records, save_path=os.path.join(args.outdir, "error_cdf.png"),
         )
         print(f"saved extrema_scatter.png + error_cdf.png to {args.outdir}/")
-        print("\nviolation counts:")
+        print("\nviolation counts (strict, margin-scaled boxes):")
         print(json.dumps(violation_counts(records, limits, margins), indent=2))
+        print("\nviolation counts (reference notebook cell-3 convention,"
+              " full limits):")
+        print(json.dumps(violation_counts_reference(records, limits), indent=2))
         print("\naccuracy:")
         print(json.dumps(accuracy_stats(records), indent=2))
 

@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--kkt-refine", type=int, default=None,
                     help="default: 0 for structured, 1 for the other backends")
     ap.add_argument("--qp-max-iter", type=int, default=700)
+    ap.add_argument("--exit-every", type=int, default=100,
+                    help="early-exit compaction cadence for the fused "
+                         "kernel (QPSettings.exit_every; structured_pallas "
+                         "only, 0 disables)")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +53,7 @@ def main():
     from mpc_motion_planner_tpu.bench.analysis import (
         accuracy_stats,
         violation_counts,
+        violation_counts_reference,
         violation_magnitudes,
     )
     from mpc_motion_planner_tpu.bench.harness import benchmark_records, chain_states
@@ -67,40 +72,78 @@ def main():
             kkt_refine=args.kkt_refine,
             max_iter=args.qp_max_iter,
             rho_update_every=0,
+            exit_every=args.exit_every,
         ),
     )
+
+    # soft-row mask for the elastic variable box (SQPSettings
+    # .box_slack_penalty): interior-X nodes + all U rows — used to monitor
+    # the exact-penalty assumption (box duals must stay below the weight)
+    ocp = planner.ocp
+    nodes, nx, nu = ocp.num_nodes, ocp.nx, ocp.nu
+    soft_mask = np.zeros(ocp.num_var, bool)
+    soft_mask[nx : (nodes - 1) * nx] = True
+    soft_mask[nodes * nx : nodes * (nx + nu)] = True
+    soft_mask_j = jnp.asarray(soft_mask)
 
     @jax.jit
     def run_batch(cur, tgt):
         sol = planner.solve(cur, tgt)
         rec, _, _ = benchmark_records(planner, sol, tgt)
-        return rec, sol.violation, sol.qp_iterations
+        soft_dual_max = jnp.max(
+            jnp.abs(sol.lam_x) * soft_mask_j, axis=-1
+        )
+        return rec, sol.violation, sol.qp_iterations, soft_dual_max, sol.qp_converged
 
     key = jax.random.PRNGKey(args.seed)
     current, target = chain_states(planner, key, args.n)
 
     all_records = []
+    soft_duals, convs = [], []
     t_total = 0.0
     for i in range(0, args.n, args.batch):
         cur_b = current[i : i + args.batch]
         tgt_b = target[i : i + args.batch]
         t0 = time.time()
-        rec, viol, qp_iters = jax.block_until_ready(run_batch(cur_b, tgt_b))
+        rec, viol, qp_iters, sdual, conv = jax.block_until_ready(
+            run_batch(cur_b, tgt_b)
+        )
         dt = time.time() - t0
         t_total += dt
         all_records.append(np.asarray(rec))
+        soft_duals.append(np.asarray(sdual))
+        convs.append(np.asarray(conv))
         print(
             f"batch {i // args.batch}: {cur_b.shape[0]} solves in {dt:.3f}s "
             f"({cur_b.shape[0] / dt:.1f} solves/s), "
-            f"median violation {np.median(np.asarray(viol)):.2e}"
+            f"median violation {np.median(np.asarray(viol)):.2e}, "
+            f"qp conv {np.asarray(conv).mean():.3f}"
         )
 
     records = np.concatenate(all_records, axis=0)
     write_benchmark_records(args.out, records)
 
     print(f"\ntotal: {args.n} solves in {t_total:.2f}s = {args.n / t_total:.1f} solves/s")
-    print("\nviolation counts (of", args.n, "trajectories):")
+    sdual = np.concatenate(soft_duals)
+    conv = np.concatenate(convs)
+    w = planner.sqp_settings.box_slack_penalty
+    print(json.dumps({
+        "qp_conv_rate": round(float(conv.mean()), 4),
+        # exact-penalty health check (SQPSettings.box_slack_penalty): the
+        # elastic box leaves feasible solves unchanged only while the
+        # optimal box duals stay below the weight — report how close the
+        # measured duals get (saturation ~1.0 means the penalty binds)
+        "soft_box_dual_p50": round(float(np.percentile(sdual, 50)), 4),
+        "soft_box_dual_max": round(float(sdual.max()), 4),
+        "box_slack_penalty": w,
+        "soft_box_dual_saturation": round(float(sdual.max() / w), 4) if w else None,
+    }, indent=2))
+    print("\nviolation counts, STRICT convention (margin-scaled boxes), of",
+          args.n, "trajectories:")
     print(json.dumps(violation_counts(records, planner.limits, planner.margins), indent=2))
+    print("\nviolation counts, REFERENCE convention (full limits, notebook"
+          " cell-3 semantics — directly comparable to benchmark_analysis.ipynb):")
+    print(json.dumps(violation_counts_reference(records, planner.limits), indent=2))
     print("\nviolation magnitudes (worst overshoot per trajectory):")
     print(
         json.dumps(

@@ -119,10 +119,15 @@ def _admm_kernel(
     lx, ux = lx_ref[0], ux_ref[0]
     rc, rx = rc_ref[0], rx_ref[0]
     D, E = D_ref[0], E_ref[0]
-    # soft-row shrink thresholds (hard rows: huge finite; capped so the
-    # 1e20/rc quotient can't overflow f32 to inf inside VMEM)
-    thr = jnp.minimum(sc_ref[0] / rc, 1e20)
-    thr_x = jnp.minimum(sx_ref[0] / rx, 1e20)
+    # soft-row shrink thresholds (hard rows: huge finite). The numerator is
+    # capped BEFORE the divide so the quotient can never overflow f32 to
+    # inf inside VMEM, regardless of how small rc/rx get (qp._HARD is the
+    # hard-row stand-in; _HARD * rc keeps hard rows at exactly _HARD after
+    # the divide, where the shrink clip never binds).
+    _HARD = 1e20  # == qp._HARD (kept literal: the kernel module is
+    # import-light by design; pinned by tests/test_qp.py parity)
+    thr = jnp.minimum(sc_ref[0], _HARD * rc) / rc
+    thr_x = jnp.minimum(sx_ref[0], _HARD * rx) / rx
 
     prec = (
         jax.lax.Precision.DEFAULT

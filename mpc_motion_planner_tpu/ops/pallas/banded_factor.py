@@ -51,9 +51,14 @@ _PIV_FLOOR = 1e-20
 # intermediate: a breakdown lane's floored pivot (1e-10) produces ~1e10
 # columns whose repeated Schur products would overflow f32 to inf — which
 # must never exist in VMEM (TPU special-value slow path). Legitimate
-# entries of the Ruiz-scaled system sit many orders below 1e8, so the
-# clamp only alters lanes already flagged ok=False.
+# entries of the Ruiz-scaled system sit many orders below 1e8. Clamp
+# activation is NOT silent: any emitted factor entry at >= _SAT also
+# clears the lane's ok flag (see _factor_kernel), so a legitimately
+# huge-entry system (e.g. extreme per-problem rho from the adaptive-rho
+# chunked path) refactors via the jitter-guarded XLA fallback instead of
+# being silently corrupted.
 _MAG = 1e8
+_SAT = 0.99 * _MAG
 
 
 def _fz(v):
@@ -160,6 +165,22 @@ def _factor_kernel(Mb_ref, pc_ref, mpp_ref, Ldi_out, Lsub_out, u_out, s_out,
     # the arrow Schur complement must be positive for an SPD system; the
     # ADMM kernel divides by it, so flag non-positive lanes too
     ok = ok * (s > _PIV_FLOOR).astype(f32)
+
+    # clamp-activation detector: any emitted factor entry at/near the _MAG
+    # clamp means _fz altered this lane's arithmetic (overflow cascade or a
+    # genuinely huge-entry system) — clear ok so the host refactors it via
+    # the XLA path instead of trusting silently-saturated factors.
+    sat = jnp.zeros((1, L_lanes), f32)
+    for blk_fac in Ldi:
+        sat = jnp.maximum(sat, jnp.max(jnp.max(jnp.abs(blk_fac), 0), 0)[None])
+    for k in range(N):
+        for d in range(bw):
+            sat = jnp.maximum(
+                sat, jnp.max(jnp.max(jnp.abs(Lcols[k][d]), 0), 0)[None]
+            )
+    sat = jnp.maximum(sat, jnp.max(jnp.max(jnp.abs(u), 0), 0)[None])
+    sat = jnp.maximum(sat, jnp.abs(s))
+    ok = ok * (sat < _SAT).astype(f32)
 
     Ldi_out[0] = jnp.stack(Ldi, axis=0)  # (N, blk, blk, L)
     # (bw, N, blk, blk, L): Lsub[d-1, k] = L[k+d, k] — the ADMM kernel's

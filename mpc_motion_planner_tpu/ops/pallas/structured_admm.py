@@ -698,26 +698,34 @@ def _solve_impl(
         for s in out_shapes
     ]
 
-    def dispatch(fac, rc, rx, x, zc, zx, yc, yx, done, chunk_iters):
+    def dispatch(data, state, chunk_iters):
         """One kernel launch of `chunk_iters` ADMM iterations with rho
-        fixed; state carried in scaled f32 z/m-layout."""
-        # cap at _HARD: hard rows have weight 1e20 and rc/rx can be < 1,
-        # and 1e20/0.1 overflows f32 to inf — which must never enter VMEM
-        # (the special-value slow-path hazard). The cap is semantically
-        # free: no iterate magnitude ever approaches 1e20.
-        thr = jnp.minimum(soft_s / rc, _HARD)
-        thx = jnp.minimum(soft_xs / rx, _HARD)
+        fixed; state carried in scaled f32 z/m-layout. `data` holds every
+        per-problem operand (factors + problem data) so the early-exit
+        path can permute the batch between launches with one gather."""
+        rc, rx = data["rc"], data["rx"]
+        x, zc, zx = state["x"], state["zc"], state["zx"]
+        yc, yx, done = state["yc"], state["yx"], state["done"]
+        # cap the numerator BEFORE the divide: hard rows have weight 1e20
+        # and the quotient by a small rc/rx would overflow f32 to inf —
+        # which must never enter VMEM (the special-value slow-path hazard).
+        # min(soft, _HARD * r) / r is exactly _HARD for hard rows (where
+        # the shrink clip never binds) and semantically free otherwise: no
+        # iterate magnitude ever approaches 1e20.
+        thr = jnp.minimum(data["soft_s"], _HARD * rc) / rc
+        thx = jnp.minimum(data["soft_xs"], _HARD * rx) / rx
         operands = [
-            cl(pad(fac["Ldi"])),
-            cl(pad(fac["Lsub_t"])),  # (B, bw, N, blk, blk)
-            cl(pad(fac["u"])),
-            cl(pad(fac["s"], 1.0)[:, None]),  # 1.0: divide-safe dummy lanes
-            cl(pad(Jt)),
-            cl(pad(f_seg)),
-            cl(pad(sa.p)[:, None]),
+            cl(pad(data["Ldi"])),
+            cl(pad(data["Lsub_t"])),  # (B, bw, N, blk, blk)
+            cl(pad(data["u"])),
+            cl(pad(data["s"], 1.0)[:, None]),  # 1.0: divide-safe dummies
+            cl(pad(data["Jt"])),
+            cl(pad(data["f_seg"])),
+            cl(pad(data["pt"])[:, None]),
         ]
         xvals = dict(
-            qs=qs, Ps=Ps, rx=rx, lxs=lxs, uxs=uxs, thx=thx, D=D,
+            qs=data["qs"], Ps=data["Ps"], rx=rx, lxs=data["lxs"],
+            uxs=data["uxs"], thx=thx, D=data["D"],
             x0=x, zx0=zx, yx0=yx,
         )
         # divide-safe padding for scale-like operands
@@ -725,7 +733,10 @@ def _solve_impl(
         for name in _X_OPS:
             pieces = _split_z(ocp, pad(xvals[name], fills.get(name, 0.0)))
             operands += [cl(pieces["X"]), cl(pieces["U"]), cl(pieces["p"])]
-        mvals = dict(rc=rc, lcs=lcs, ucs=ucs, E=E, thr=thr, zc0=zc, yc0=yc)
+        mvals = dict(
+            rc=rc, lcs=data["lcs"], ucs=data["ucs"], E=data["E"], thr=thr,
+            zc0=zc, yc0=yc,
+        )
         mfills = dict(rc=1.0, E=1.0, ucs=1.0, lcs=-1.0, thr=1.0)
         for name in _M_OPS:
             eqp, gp = _split_m(ocp, pad(mvals[name], mfills.get(name, 0.0)))
@@ -767,16 +778,14 @@ def _solve_impl(
         def takem():
             return _join_m(ocp, _unchunk(next(o)), _unchunk(next(o)))[:B]
 
-        x = takex()
-        zc = takem()
-        zx = takex()
-        yc = takem()
-        yx = takex()
-        done = _unchunk(next(o))[:B, 0]
+        new_state = dict(
+            x=takex(), zc=takem(), zx=takex(), yc=takem(), yx=takex(),
+            done=_unchunk(next(o))[:B, 0],
+        )
         used = _unchunk(next(o))[:B, 0]
         rp = _unchunk(next(o))[:B, 0]
         rd = _unchunk(next(o))[:B, 0]
-        return x, zc, zx, yc, yx, done, used, rp, rd
+        return new_state, used, rp, rd
 
     # scaled operator applies for the host-side rho ratio (identical
     # formulas to qp_structured.residuals; one apply pair per boundary)
@@ -819,27 +828,69 @@ def _solve_impl(
             / jnp.maximum(r_dual / jnp.maximum(scale_d, 1e-12), 1e-12)
         )
 
+    # ---- chunk cadence: adaptive rho owns the chunk size when enabled;
+    # otherwise the early-exit compaction cadence (exit_every); otherwise
+    # one monolithic dispatch ----
+    early_exit = (
+        settings.rho_update_every == 0
+        and settings.exit_every > 0
+        and B > lanes
+    )
     if settings.rho_update_every > 0:
         chunk = settings.rho_update_every
+    elif early_exit:
+        chunk = settings.exit_every
     else:
         chunk = settings.max_iter
     n_chunks = -(-settings.max_iter // chunk)
 
+    data = dict(
+        Ldi=fac["Ldi"], Lsub_t=fac["Lsub_t"], u=fac["u"], s=fac["s"],
+        Jt=Jt, f_seg=f_seg, pt=sa.p,
+        qs=qs, Ps=Ps, rc=rc, rx=rx, lxs=lxs, uxs=uxs, lcs=lcs, ucs=ucs,
+        D=D, E=E, soft_s=soft_s, soft_xs=soft_xs,
+    )
+    state = dict(x=x, zc=zc, zx=zx, yc=yc, yx=yx, done=done)
+
+    take = lambda tree, idx: jax.tree_util.tree_map(
+        lambda a: jnp.take(a, idx, axis=0), tree
+    )
+
     total_used = jnp.zeros((B,), jnp.int32)
     rp = jnp.zeros((B,), dt)
     rd = jnp.zeros((B,), dt)
+    # orig[i] = original batch index of the problem currently at slot i
+    # (identity unless the early-exit path permutes between chunks)
+    orig = jnp.arange(B)
     for c in range(n_chunks):
         iters_c = min(chunk, settings.max_iter - c * chunk)
-        x, zc, zx, yc, yx, done, used, rp_c, rd_c = dispatch(
-            fac, rc, rx, x, zc, zx, yc, yx, done, iters_c
-        )
+        if early_exit and c > 0:
+            # skip the launch entirely once every problem has terminated
+            # (converged or divergence-frozen) — common near the end of
+            # the budget, where only stragglers remain
+            def run(args):
+                return dispatch(args[0], args[1], iters_c)
+
+            def skip(args):
+                _, st = args
+                zb = jnp.zeros((B,), jnp.int32)
+                return st, zb, jnp.zeros((B,), dt), jnp.zeros((B,), dt)
+
+            state, used, rp_c, rd_c = jax.lax.cond(
+                jnp.any(state["done"] == 0), run, skip, (data, state)
+            )
+        else:
+            state, used, rp_c, rd_c = dispatch(data, state, iters_c)
         total_used = total_used + used
         # rp/rd only refresh for problems still active in this chunk
         rp = jnp.where(used > 0, rp_c, rp)
         rd = jnp.where(used > 0, rd_c, rd)
         if c < n_chunks - 1 and settings.rho_update_every > 0:
-            ratio = residual_ratio(x, zc, zx, yc, yx)
-            want = (done == 0) & ((ratio > 5.0) | (ratio < 0.2))
+            ratio = residual_ratio(
+                state["x"], state["zc"], state["zx"], state["yc"],
+                state["yx"],
+            )
+            want = (state["done"] == 0) & ((ratio > 5.0) | (ratio < 0.2))
             rho_new = jnp.where(
                 want,
                 jnp.clip(rho_s * ratio, settings.rho_min, settings.rho_max),
@@ -855,12 +906,47 @@ def _solve_impl(
             rho_s = rho_new
             rc = rho_s[:, None] * pat_c
             rx = rho_s[:, None] * pat_x
+            data.update(
+                Ldi=fac["Ldi"], Lsub_t=fac["Lsub_t"], u=fac["u"],
+                s=fac["s"], rc=rc, rx=rx,
+            )
+        if early_exit and c < n_chunks - 1:
+            # COMPACT: stable-sort still-active problems to the front so
+            # they pack into the leading 128-lane groups; grid programs
+            # whose lanes are all done then exit before their first
+            # iteration. done is sticky, so the active set only shrinks
+            # and the stable sort keeps relative order deterministic.
+            perm = jnp.argsort(state["done"] != 0, stable=True)
+            data = take(data, perm)
+            state = take(state, perm)
+            total_used = jnp.take(total_used, perm, axis=0)
+            rp = jnp.take(rp, perm, axis=0)
+            rd = jnp.take(rd, perm, axis=0)
+            orig = jnp.take(orig, perm, axis=0)
 
+    # un-permute: scatter slot results back to original batch positions
+    def unperm(a):
+        return jnp.zeros_like(a).at[orig].set(a)
+
+    if early_exit:
+        x_out = unperm(state["x"])
+        yc_out = unperm(state["yc"])
+        yx_out = unperm(state["yx"])
+        done_out = unperm(state["done"])
+        total_used = unperm(total_used)
+        rp = unperm(rp)
+        rd = unperm(rd)
+    else:
+        x_out, yc_out, yx_out = state["x"], state["yc"], state["yx"]
+        done_out = state["done"]
+
+    # D/E were captured unpermuted above, so unscaling uses the original
+    # per-problem scalings regardless of the compaction path
     return QPSolution(
-        x=D * x,
-        y_constraints=E * yc,
-        y_box=yx / D,
-        converged=done == 1,
+        x=D * x_out,
+        y_constraints=E * yc_out,
+        y_box=yx_out / D,
+        converged=done_out == 1,
         iterations=total_used,
         prim_residual=rp,
         dual_residual=rd,

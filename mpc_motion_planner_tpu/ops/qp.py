@@ -95,6 +95,22 @@ class QPSettings:
     pallas_precision: str = dataclasses.field(
         default="highest", metadata={"static": True}
     )
+    # Early-exit chunked dispatch for the fused structured kernel
+    # (backend "structured_pallas" only; ignored when rho_update_every
+    # > 0, which has its own chunk cadence). When > 0, the <=max_iter
+    # ADMM loop dispatches as ceil(max_iter / exit_every) kernel launches
+    # of exit_every iterations, and between launches the batch is
+    # COMPACTED: problems are stable-sorted so still-active ones pack
+    # into the leading 128-lane groups. A grid program whose 128 lanes
+    # are all done exits its in-kernel loop before the first iteration,
+    # so converged problems stop paying for the stragglers' iterations —
+    # at >99% convergence most of the 700-iteration budget is spent on a
+    # handful of structurally-infeasible stragglers that sorting confines
+    # to ONE program. Semantics are identical to a single dispatch when
+    # exit_every is a multiple of check_every (chunk-boundary residual
+    # checks then coincide with scheduled ones); results are
+    # un-permuted before returning. 0 disables (single dispatch).
+    exit_every: int = dataclasses.field(default=0, metadata={"static": True})
     # KKT factorization scheme for the explicit M^-1: "lu" (jnp.linalg.inv)
     # or "cholesky" (M is SPD by construction: diag(P) + sigma I + rho_x I
     # + A^T diag(rho_c) A with all weights > 0) — Cholesky + two triangular
@@ -558,13 +574,15 @@ def _solve_box_qp_impl(
 
         x_new = alpha * xt + (1.0 - alpha) * x
         zc_arg = alpha * zt_c + (1.0 - alpha) * zc
+        # numerator capped BEFORE the divide so the hard-row quotient can
+        # never overflow f32 to inf (same invariant as the pallas kernels)
         zc_new = _soft_prox(
-            zc_arg + yc / rc, lcs, ucs, jnp.minimum(soft_s / rc, _HARD)
+            zc_arg + yc / rc, lcs, ucs, jnp.minimum(soft_s, _HARD * rc) / rc
         )
         yc_new = yc + rc * (zc_arg - zc_new)
         zx_arg = alpha * xt + (1.0 - alpha) * zx
         zx_new = _soft_prox(
-            zx_arg + yx / rx, lxs, uxs, jnp.minimum(soft_xs / rx, _HARD)
+            zx_arg + yx / rx, lxs, uxs, jnp.minimum(soft_xs, _HARD * rx) / rx
         )
         yx_new = yx + rx * (zx_arg - zx_new)
 

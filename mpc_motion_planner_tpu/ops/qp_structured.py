@@ -723,12 +723,14 @@ def _solve_structured_impl(
         x_new = alpha * xt + (1.0 - alpha) * x
         zc_arg = alpha * zt_c + (1.0 - alpha) * zc
         zc_new = _soft_prox(
-            zc_arg + yc / rc, lcs, ucs, jnp.minimum(soft_s / rc, _HARD)
+            zc_arg + yc / rc, lcs, ucs,
+            jnp.minimum(soft_s, _HARD * rc) / rc,
         )
         yc_new = yc + rc * (zc_arg - zc_new)
         zx_arg = alpha * xt + (1.0 - alpha) * zx
         zx_new = _soft_prox(
-            zx_arg + yx / rx, lxs, uxs, jnp.minimum(soft_xs / rx, _HARD)
+            zx_arg + yx / rx, lxs, uxs,
+            jnp.minimum(soft_xs, _HARD * rx) / rx,
         )
         yx_new = yx + rx * (zx_arg - zx_new)
 

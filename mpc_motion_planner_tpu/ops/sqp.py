@@ -83,7 +83,14 @@ class SQPSettings:
     # 25.1 -> 20.4 — a stalled ADMM returns a poorer step than a
     # converged relaxed one); 10.0 matches step0 but loses step1 (0.98),
     # 30.0 degrades both (0.88/0.94, max viol 30). 0 disables (reference
-    # behavior).
+    # behavior). CAVEAT (exact-penalty assumption): feasible solves are
+    # only guaranteed unchanged while the weight exceeds the optimal box
+    # duals of the softened rows; this is an empirical property of the
+    # workload, not enforced. It is checkable from SQPResult.lam_x — if
+    # max |lam_x| over the soft control/interior-state rows approaches the
+    # weight, the penalty is binding on feasible problems and should be
+    # raised (the acceptance harness reports this saturation statistic,
+    # RESULTS.md).
     box_slack_penalty: float = dataclasses.field(
         default=3.0, metadata={"static": True}
     )

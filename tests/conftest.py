@@ -28,3 +28,20 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# Full-suite stability: one pytest process accumulates every compiled XLA
+# executable (the suite jit-compiles hundreds of distinct solver
+# configurations, several of them interpret-mode Pallas kernels with very
+# large HLO graphs). By test ~113/135 the process RSS passes ~5 GB and the
+# NEXT big CPU compile segfaults inside XLA's compiler
+# (jax/_src/compiler.py backend_compile_and_load) — reproducible on this
+# image, and every chunk passes in isolation. Dropping the caches at module
+# boundaries releases the executables of finished modules (no test reuses
+# jitted functions across modules), which keeps peak RSS bounded and the
+# one-invocation run green. Cost: a handful of recompiles for
+# session-scoped helpers, ~1 min on the full suite.
+@pytest.fixture(scope="module", autouse=True)
+def _bound_xla_cache_growth():
+    yield
+    jax.clear_caches()

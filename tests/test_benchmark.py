@@ -100,7 +100,19 @@ def test_analysis_summaries(small_run, planner):
         assert all(0 <= v <= 4 for v in c.values())
     stats = accuracy_stats(np.asarray(rec))
     assert stats["ruckig"]["pos_err_p50"] < 0.3
-    assert 0.0 <= stats["mpc"]["within_tolerance"] <= 1.0
+    # box-hit fractions are labeled for exactly what they test: the hard
+    # ±1e-2 box, and the box + QP tolerance the solver actually guarantees
+    assert 0.0 <= stats["mpc"]["within_target_box"] <= 1.0
+    assert (
+        stats["mpc"]["within_target_box"]
+        <= stats["mpc"]["within_box_plus_tol"]
+    )
+    # the inf-norm percentiles let the thresholds be read off the data
+    assert (
+        stats["mpc"]["err_inf_p50"]
+        <= stats["mpc"]["err_inf_p95"]
+        <= stats["mpc"]["err_inf_max"]
+    )
 
     from mpc_motion_planner_tpu.bench.analysis import violation_magnitudes
 
@@ -114,6 +126,83 @@ def test_analysis_summaries(small_run, planner):
         for cat in ("position", "velocity", "acceleration", "torque"):
             if counts[p][cat] == 0:
                 assert mags[p][cat]["max"] <= 1e-6
+
+
+def test_violation_counting_conventions(planner):
+    """Pin the STRICT (margin-scaled) vs REFERENCE (notebook cell 3)
+    counting conventions against hand-built records."""
+    from mpc_motion_planner_tpu.bench.analysis import (
+        violation_counts_reference,
+    )
+
+    lim = planner.limits
+    n = 3
+    rec = np.zeros((n, 162))
+    # benign extrema: mid-position box, zero velocity/accel/torque
+    mid = (np.asarray(lim.max_position) + np.asarray(lim.min_position)) / 2
+    for sl in (slice(0, 28), slice(28, 56), slice(56, 84), slice(84, 112)):
+        rec[:, sl.start : sl.start + 7] = mid
+    rec[:, 140:148] = 1.0  # all flags pass
+
+    # trajectory 0 (MPC planner): joint-3 velocity exceeds BOTH directions
+    # of the FULL limit -> reference convention counts it TWICE for MPC
+    vfull = float(np.asarray(lim.max_velocity)[2])
+    rec[0, 56 + 7 + 2] = -vfull - 0.1  # min_mpc velocity row
+    rec[0, 84 + 7 + 2] = vfull + 0.1  # max_mpc velocity row
+    # trajectory 1 (MPC): acceleration over the MARGIN-scaled box but
+    # inside the full limit -> strict counts it, reference does not
+    afull = float(np.asarray(lim.max_acceleration)[0])
+    rec[1, 84 + 14] = 0.8 * afull  # margin 0.6 -> scaled box is 0.6*afull
+    # trajectory 2 (both planners): angular-velocity flag fails -> strict
+    # task_velocity counts it, reference taskVelocity (flag[1:2]) does NOT
+    rec[2, 140 + 2] = 0.0  # rk angular flag
+    rec[2, 144 + 2] = 0.0  # mpc angular flag
+
+    strict = violation_counts(rec, lim, planner.margins)
+    ref = violation_counts_reference(rec, lim)
+
+    assert strict["mpc"]["velocity"] == 1
+    assert ref["mpc"]["velocity_fails"] == 2  # sum convention counts twice
+    assert strict["mpc"]["acceleration"] == 1  # margin-scaled box
+    assert ref["mpc"]["torqueAccel_fails"] == 0  # full limit not exceeded
+    assert strict["mpc"]["task_velocity"] == 1  # angular OR linear
+    assert ref["mpc"]["taskVelocity_fails"] == 0  # linear flag only
+    assert ref["ruckig"]["taskVelocity_fails"] == 0
+    assert ref["mpc"]["total"] == 2
+    assert ref["ruckig"]["total"] == 0
+
+    # Ruckig OR-convention: the same double-sided exceedance counts once
+    rec2 = rec.copy()
+    rec2[0, 0 + 7 + 2] = -vfull - 0.1  # min_rk velocity
+    rec2[0, 28 + 7 + 2] = vfull + 0.1  # max_rk velocity
+    ref2 = violation_counts_reference(rec2, lim)
+    assert ref2["ruckig"]["velocity_fails"] == 1
+    assert ref2["mpc"]["velocity_fails"] == 2
+
+
+def test_reference_limits_match_notebook(planner):
+    """The full PandaLimits equal the notebook's hard-coded limit arrays
+    (benchmark_analysis.ipynb cell 1) that violation_counts_reference
+    compares against."""
+    lim = planner.limits
+    np.testing.assert_allclose(
+        np.asarray(lim.min_position),
+        [-2.8973, -1.7628, -2.8973, -3.0718, -2.8973, -0.0175, -2.8973],
+    )
+    np.testing.assert_allclose(
+        np.asarray(lim.max_position),
+        [2.8973, 1.7628, 2.8973, -0.0698, 2.8973, 3.7525, 2.8973],
+    )
+    np.testing.assert_allclose(
+        np.asarray(lim.max_velocity),
+        [2.175, 2.175, 2.175, 2.175, 2.61, 2.61, 2.61],
+    )
+    np.testing.assert_allclose(
+        np.asarray(lim.max_acceleration), [15.0, 7.5, 10.0, 12.5, 15.0, 20.0, 20.0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(lim.max_torque), [87, 87, 87, 87, 12, 12, 12]
+    )
 
 
 def test_io_roundtrip(tmp_path, small_run):

@@ -389,6 +389,52 @@ def test_structured_pallas_kernel_matches_xla_with_soft_box():
     )
 
 
+def test_structured_pallas_early_exit_matches_single_dispatch():
+    """exit_every chunked dispatch with inter-chunk compaction (the
+    early-exit production speedup) returns exactly the single-dispatch
+    results: permutation does not change per-lane math, and chunk
+    boundaries at multiples of check_every coincide with scheduled
+    residual checks."""
+    from mpc_motion_planner_tpu.ops.pallas.structured_admm import (
+        solve_box_qp_structured_pallas,
+    )
+
+    ocp, sa, A, P, h, lc, uc, lx, ux, soft_c = _planner_qp_data(B=5, soft=True)
+    f32 = jnp.float32
+    sa = structure.StructuredA(
+        p=sa.p.astype(f32), f_rows=sa.f_rows.astype(f32), J=sa.J.astype(f32)
+    )
+    P, h, lc, uc, lx, ux = (a.astype(f32) for a in (P, h, lc, uc, lx, ux))
+    # lanes=2 < B: grid of 3 programs (one padded), compaction active
+    ref = solve_box_qp_structured_pallas(
+        ocp, sa, P, h, lc, uc, lx, ux,
+        QPSettings(max_iter=300, rho_update_every=0, exit_every=0),
+        soft_c=soft_c, lanes=2,
+    )
+    got = solve_box_qp_structured_pallas(
+        ocp, sa, P, h, lc, uc, lx, ux,
+        QPSettings(max_iter=300, rho_update_every=0, exit_every=100),
+        soft_c=soft_c, lanes=2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.converged), np.asarray(ref.converged)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.y_constraints), np.asarray(ref.y_constraints),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.prim_residual), np.asarray(ref.prim_residual),
+        rtol=1e-6, atol=1e-9,
+    )
+
+
 def test_pallas_factor_matches_xla(ocp):
     """The lane-major Pallas banded-Cholesky factorization (interpret mode
     off-TPU) matches qp_structured.factor_banded on real planner KKT
