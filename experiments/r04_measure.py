@@ -101,6 +101,58 @@ def phase_iters(args):
     emit(rec)
 
 
+def phase_hotspots(args):
+    """Decompose the two non-QP hot stages (linearize 59 ms, line search
+    59 ms at B=1024 per the stage phase) into their constituent ops, so
+    the next optimization targets measurement, not guesses."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpc_motion_planner_tpu.bench.harness import chain_states
+    from mpc_motion_planner_tpu.ops.structure import build_structured_A
+    from mpc_motion_planner_tpu.utils.profiling import time_fn
+
+    planner = make_planner()
+    ocp = planner.ocp
+    B = args.batch
+    key = jax.random.PRNGKey(0)
+    cur, tgt = chain_states(planner, key, B)
+
+    @jax.jit
+    def warm(cur, tgt):
+        traj = planner.plan_warm_start(cur, tgt)
+        return planner.warm_start_vector(traj)
+
+    z0 = jax.block_until_ready(warm(cur, tgt))
+    L = planner.sqp_settings.line_search_max_iter
+    alphas = jnp.asarray([0.5 ** j for j in range(L)], z0.dtype)
+    zL = jnp.reshape(z0[None] * alphas[:, None, None] + 0.0, (L * B, -1))
+
+    hp = jax.default_matmul_precision("highest")
+
+    def J(f):
+        def g(*a):
+            with hp:
+                return f(*a)
+        return jax.jit(g)
+
+    fns = {
+        # linearize parts
+        "eq_residual": (J(jax.vmap(ocp.eq_residual)), (z0,)),
+        "ineq_residual": (J(jax.vmap(ocp.ineq_residual)), (z0,)),
+        "node_jacobians": (J(jax.vmap(ocp.node_constraint_jacobians)), (z0,)),
+        "build_structured_A": (J(lambda z: build_structured_A(ocp, z)), (z0,)),
+        # line-search parts: the merit evaluates L=10 candidates -> the
+        # same residuals at 10x the batch
+        "eq_residual_x10": (J(jax.vmap(ocp.eq_residual)), (zL,)),
+        "ineq_residual_x10": (J(jax.vmap(ocp.ineq_residual)), (zL,)),
+    }
+    rec = {"phase": "hotspots", "batch": B, "device": str(jax.devices()[0])}
+    for name, (fn, a) in fns.items():
+        rec[name + "_ms"] = round(1e3 * time_fn(fn, *a, repeats=args.repeats)["median_s"], 3)
+    emit(rec)
+
+
 def phase_latency(args):
     import jax
     import numpy as np
@@ -195,7 +247,9 @@ def phase_b4096(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("phase", choices=["stage", "iters", "latency", "b4096"])
+    ap.add_argument(
+        "phase", choices=["stage", "iters", "hotspots", "latency", "b4096"]
+    )
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--repeats-latency", type=int, default=30)
@@ -204,6 +258,7 @@ def main():
     {
         "stage": phase_stage,
         "iters": phase_iters,
+        "hotspots": phase_hotspots,
         "latency": phase_latency,
         "b4096": phase_b4096,
     }[args.phase](args)
