@@ -74,6 +74,9 @@ def main():
     max_iter = int(os.environ.get("BENCH_QP_MAX_ITER", "700"))
     check_every = int(os.environ.get("BENCH_CHECK_EVERY", "25"))
     kkt_factor = os.environ.get("BENCH_KKT_FACTOR", "lu")
+    # Ruiz equilibration sweeps (QPSettings.ruiz_iters); the default 10 is
+    # conservative — each sweep costs a structured apply pair per QP.
+    ruiz_iters = int(os.environ.get("BENCH_RUIZ_ITERS", "10"))
     # Early-exit compaction cadence for the fused structured kernel (see
     # QPSettings.exit_every): at ~99% convergence most lanes finish in the
     # first chunks, and compaction confines the stragglers to one 128-lane
@@ -88,6 +91,7 @@ def main():
                 backend=backend, kkt_refine=refine, rho_update_every=rho_every,
                 max_iter=max_iter, check_every=check_every,
                 kkt_factor=kkt_factor, exit_every=exit_every,
+                ruiz_iters=ruiz_iters,
             ),
         )
 
@@ -126,7 +130,8 @@ def main():
         if backend in fallback:
             nxt = fallback[backend]
             print(f"# {backend} backend failed ({type(e).__name__}); "
-                  f"falling back to {nxt}", file=sys.stderr)
+                  f"falling back to {nxt}\n# detail: {str(e)[:2000]}",
+                  file=sys.stderr)
             backend = nxt
             planner, run = make_run(backend)
             out = jax.block_until_ready(run(current, target))

@@ -864,23 +864,13 @@ def _solve_impl(
     orig = jnp.arange(B)
     for c in range(n_chunks):
         iters_c = min(chunk, settings.max_iter - c * chunk)
-        if early_exit and c > 0:
-            # skip the launch entirely once every problem has terminated
-            # (converged or divergence-frozen) — common near the end of
-            # the budget, where only stragglers remain
-            def run(args):
-                return dispatch(args[0], args[1], iters_c)
-
-            def skip(args):
-                _, st = args
-                zb = jnp.zeros((B,), jnp.int32)
-                return st, zb, jnp.zeros((B,), dt), jnp.zeros((B,), dt)
-
-            state, used, rp_c, rd_c = jax.lax.cond(
-                jnp.any(state["done"] == 0), run, skip, (data, state)
-            )
-        else:
-            state, used, rp_c, rd_c = dispatch(data, state, iters_c)
+        # Every chunk dispatches unconditionally: a program whose 128
+        # lanes are all done exits its while_loop before the first
+        # iteration, so an all-done dispatch costs only the operand
+        # copies (wrapping the launch in lax.cond would save those, but
+        # pallas_call under data-dependent control flow is avoided —
+        # keep the launch structure static).
+        state, used, rp_c, rd_c = dispatch(data, state, iters_c)
         total_used = total_used + used
         # rp/rd only refresh for problems still active in this chunk
         rp = jnp.where(used > 0, rp_c, rp)
