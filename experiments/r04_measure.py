@@ -136,16 +136,36 @@ def phase_hotspots(args):
                 return f(*a)
         return jax.jit(g)
 
+    # jacrev candidate: 8 reverse passes instead of 21 forward tangents
+    # for the (ng=8) x (nx+nu=21) per-node constraint Jacobians
+    nx = ocp.nx
+
+    def node_jac_rev(z):
+        X, U, _ = ocp.unpack(z)
+
+        def g_of(xu):
+            return ocp.node_constraints(xu[:nx], xu[nx:])
+
+        return jax.vmap(jax.jacrev(g_of))(jnp.concatenate([X, U], axis=-1))
+
+    from mpc_motion_planner_tpu.ops.qp_structured import ruiz_structured
+
+    sa0 = build_structured_A(ocp, z0)
+
     fns = {
         # linearize parts
         "eq_residual": (J(jax.vmap(ocp.eq_residual)), (z0,)),
         "ineq_residual": (J(jax.vmap(ocp.ineq_residual)), (z0,)),
         "node_jacobians": (J(jax.vmap(ocp.node_constraint_jacobians)), (z0,)),
+        "node_jacobians_rev": (J(jax.vmap(node_jac_rev)), (z0,)),
         "build_structured_A": (J(lambda z: build_structured_A(ocp, z)), (z0,)),
         # line-search parts: the merit evaluates L=10 candidates -> the
         # same residuals at 10x the batch
         "eq_residual_x10": (J(jax.vmap(ocp.eq_residual)), (zL,)),
         "ineq_residual_x10": (J(jax.vmap(ocp.ineq_residual)), (zL,)),
+        # QP-setup parts
+        "ruiz_10": (J(lambda: ruiz_structured(ocp, sa0, 10)), ()),
+        "ruiz_4": (J(lambda: ruiz_structured(ocp, sa0, 4)), ()),
     }
     rec = {"phase": "hotspots", "batch": B, "device": str(jax.devices()[0])}
     for name, (fn, a) in fns.items():

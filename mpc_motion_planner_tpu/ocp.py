@@ -149,6 +149,55 @@ class TranscribedOCP:
         g = jax.vmap(self.node_constraints)(X, U)  # (nodes, ng)
         return g.reshape(-1)
 
+    # ---- batched fast paths (fused Pallas constraints kernel on TPU) ----
+
+    def _use_fused_constraints(self) -> bool:
+        """Route batched constraint evaluation through the lane-major
+        Pallas kernel (ops/pallas/constraints_kernel.py). Trace-time
+        decision: on TPU by default (where the XLA path is per-op
+        overhead-bound, ~59 ms/stage at B=1024 — r04 stage breakdown);
+        off elsewhere (interpret mode would be slower than XLA).
+        Override with MPC_TPU_FUSED_CONSTRAINTS=on/off/auto. Default
+        "off" until the kernel's first hardware validation lands (flip to
+        "auto" once measured — kept conservative so in-flight benchmark
+        sessions never run an unvalidated kernel)."""
+        import os
+
+        mode = os.environ.get("MPC_TPU_FUSED_CONSTRAINTS", "off")
+        if mode == "off":
+            return False
+        if mode == "on":
+            return True
+        return jax.default_backend() == "tpu"
+
+    def ineq_residual_batch(self, z):
+        """(B, num_var) -> (B, num_ineq): batched node-major g values."""
+        if self._use_fused_constraints():
+            from .ops.pallas.constraints_kernel import fused_node_constraints
+
+            X, U, _ = self.unpack(z)
+            g = fused_node_constraints(self, X, U, with_jac=False)
+            return g.reshape(z.shape[0], -1).astype(z.dtype)
+        return jax.vmap(self.ineq_residual)(z)
+
+    def linearize_constraints_batch(self, z):
+        """(B, num_var) -> (g (B, num_ineq), J (B, nodes, ng, nx+nu)):
+        batched constraint values + exact per-node Jacobians in one pass
+        (one fused kernel launch on TPU)."""
+        if self._use_fused_constraints():
+            from .ops.pallas.constraints_kernel import fused_node_constraints
+
+            X, U, _ = self.unpack(z)
+            g, J = fused_node_constraints(self, X, U, with_jac=True)
+            return (
+                g.reshape(z.shape[0], -1).astype(z.dtype),
+                J.astype(z.dtype),
+            )
+        return (
+            jax.vmap(self.ineq_residual)(z),
+            jax.vmap(self.node_constraint_jacobians)(z),
+        )
+
     def node_constraint_jacobians(self, z):
         """Exact per-node Jacobians dg/d[x, u], shape (nodes, ng, nx+nu).
 

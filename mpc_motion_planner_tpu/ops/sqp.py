@@ -137,7 +137,7 @@ def constraint_violation(ocp: TranscribedOCP, bounds: NLPBounds, z):
     """l1 norm of all constraint violations at z (equality defects,
     inequality box, variable box) — polyMPC's constraints_violation."""
     c_eq = jax.vmap(ocp.eq_residual)(z)
-    g = jax.vmap(ocp.ineq_residual)(z)
+    g = ocp.ineq_residual_batch(z)  # fused kernel on TPU
     v_eq = jnp.sum(jnp.abs(c_eq), axis=-1)
     v_g = jnp.sum(
         jnp.maximum(g - bounds.ub_ineq, 0.0) + jnp.maximum(bounds.lb_ineq - g, 0.0),
@@ -154,17 +154,31 @@ def _line_search(ocp, bounds, z, d, h, mu, settings: SQPSettings):
     """Vectorized l1-merit backtracking; returns per-problem alpha (B,)."""
     L = settings.line_search_max_iter
     tau = settings.tau
+    B, n = z.shape
     alphas = jnp.asarray([tau**j for j in range(L)], z.dtype)  # (L,)
 
     viol0 = constraint_violation(ocp, bounds, z)
     phi0 = ocp.cost(z) + mu * viol0
     dphi = jnp.sum(h * d, axis=-1) - mu * viol0  # directional merit derivative
 
-    def merit_at(alpha):
-        z_try = z + alpha * d
-        return ocp.cost(z_try) + mu * constraint_violation(ocp, bounds, z_try)
+    # All L candidates evaluate as ONE (L*B)-flat batch (instead of a vmap
+    # over alphas): the constraint evaluation then reaches the fused TPU
+    # kernel as a single full launch, and the XLA path gets maximal ops.
+    z_try = (z[None] + alphas[:, None, None] * d[None]).reshape(L * B, n)
 
-    phis = jax.vmap(merit_at)(alphas)  # (L, B)
+    def tile(a):
+        if a.ndim == 1:  # shared bounds broadcast as-is
+            return a
+        return jnp.broadcast_to(a[None], (L, *a.shape)).reshape(
+            L * B, *a.shape[1:]
+        )
+
+    bounds_f = NLPBounds(
+        lb_var=tile(bounds.lb_var), ub_var=tile(bounds.ub_var),
+        lb_ineq=tile(bounds.lb_ineq), ub_ineq=tile(bounds.ub_ineq),
+    )
+    viols = constraint_violation(ocp, bounds_f, z_try).reshape(L, B)
+    phis = ocp.cost(z_try).reshape(L, B) + mu[None, :] * viols  # (L, B)
     accept = phis <= phi0[None, :] + alphas[:, None] * settings.eta * dphi[None, :]
     # Trials are tau^0 .. tau^(L-2); tau^(L-1) is the untested fallback
     # (mirrors the loop bounds at polympc_redef.hpp:101-120).
@@ -257,11 +271,14 @@ def _sqp_solve_impl(
     for _ in range(settings.max_iter):
         # ---- full relinearization at the current iterate ----
         c_eq = jax.vmap(ocp.eq_residual)(z)  # (B, num_eq)
-        g = jax.vmap(ocp.ineq_residual)(z)  # (B, num_ineq)
         if structured:
-            # matrix-free: A is never materialized (ops/structure.py)
-            sa = build_structured_A(ocp, z)
+            # matrix-free: A is never materialized (ops/structure.py);
+            # g and the per-node Jacobians come from ONE fused evaluation
+            # (a single Pallas launch on TPU)
+            g, J = ocp.linearize_constraints_batch(z)
+            sa = build_structured_A(ocp, z, J=J)
         else:
+            g = jax.vmap(ocp.ineq_residual)(z)  # (B, num_ineq)
             A = jax.vmap(ocp.constraint_matrix)(z)  # (B, m, n)
         h = jax.vmap(ocp.cost_gradient)(z)  # (B, n)
         if hessian_fn is None:

@@ -93,14 +93,19 @@ def _dims(ocp):
     )
 
 
-def build_structured_A(ocp, z) -> StructuredA:
+def build_structured_A(ocp, z, J=None) -> StructuredA:
     """Exact linearization data at the (batched) iterate z — the
-    matrix-free equivalent of ``vmap(ocp.constraint_matrix)(z)``."""
+    matrix-free equivalent of ``vmap(ocp.constraint_matrix)(z)``.
+
+    J: optionally the precomputed (B, nodes, ng, nx+nu) per-node
+    Jacobians (e.g. from ``ocp.linearize_constraints_batch``, which the
+    SQP shares with the residual evaluation on the fused TPU path)."""
     X, U, p = ocp.unpack(z)
     seg_idx, *_ = _static_indices(ocp.coll.order, ocp.coll.num_segments)
     f = ocp.dynamics(X, U)  # (B, nodes, nx)
     f_rows = f[:, jnp.asarray(seg_idx.reshape(-1))].reshape(z.shape[0], -1)
-    J = jax.vmap(ocp.node_constraint_jacobians)(z)  # (B, nodes, ng, nx+nu)
+    if J is None:
+        J = jax.vmap(ocp.node_constraint_jacobians)(z)  # (B, nodes, ng, nx+nu)
     return StructuredA(p=p, f_rows=f_rows, J=J)
 
 
