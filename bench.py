@@ -77,12 +77,14 @@ def main():
     # Ruiz equilibration sweeps (QPSettings.ruiz_iters); the default 10 is
     # conservative — each sweep costs a structured apply pair per QP.
     ruiz_iters = int(os.environ.get("BENCH_RUIZ_ITERS", "10"))
-    # Early-exit compaction cadence for the fused structured kernel (see
-    # QPSettings.exit_every): at ~99% convergence most lanes finish in the
-    # first chunks, and compaction confines the stragglers to one 128-lane
-    # program. Use a multiple of check_every for exact single-dispatch
-    # semantics. 0 disables.
-    exit_every = int(os.environ.get("BENCH_EXIT_EVERY", "100"))
+    # Early-exit compaction for the fused structured kernel (see
+    # QPSettings.exit_every/exit_warmup): one late compaction boundary
+    # (warmup 300, then a single 400-iteration straggler chunk) measured
+    # best on the r04 sweep; uniform chunking (exit_every=100/50 without
+    # warmup) measured SLOWER than no early exit. Use multiples of
+    # check_every for exact single-dispatch semantics. 0/0 disables.
+    exit_every = int(os.environ.get("BENCH_EXIT_EVERY", "400"))
+    exit_warmup = int(os.environ.get("BENCH_EXIT_WARMUP", "300"))
 
     def make_run(backend):
         planner = MotionPlanner(
@@ -91,7 +93,7 @@ def main():
                 backend=backend, kkt_refine=refine, rho_update_every=rho_every,
                 max_iter=max_iter, check_every=check_every,
                 kkt_factor=kkt_factor, exit_every=exit_every,
-                ruiz_iters=ruiz_iters,
+                exit_warmup=exit_warmup, ruiz_iters=ruiz_iters,
             ),
         )
 
@@ -181,6 +183,7 @@ def main():
         "qp_max_iter": max_iter,
         "kkt_refine": refine,
         "exit_every": exit_every,
+        "exit_warmup": exit_warmup,
         "qp_backend": backend,
         "device": str(jax.devices()[0]),
     }

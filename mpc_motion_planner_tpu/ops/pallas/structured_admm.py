@@ -838,11 +838,25 @@ def _solve_impl(
     )
     if settings.rho_update_every > 0:
         chunk = settings.rho_update_every
+        sizes = [
+            min(chunk, settings.max_iter - c * chunk)
+            for c in range(-(-settings.max_iter // chunk))
+        ]
     elif early_exit:
-        chunk = settings.exit_every
+        # warmup chunk first (one LATE compaction boundary is the
+        # measured optimum — see QPSettings.exit_every), then exit_every
+        # cadence for the remainder
+        first = min(
+            settings.exit_warmup or settings.exit_every, settings.max_iter
+        )
+        sizes = [first]
+        while sum(sizes) < settings.max_iter:
+            sizes.append(
+                min(settings.exit_every, settings.max_iter - sum(sizes))
+            )
     else:
-        chunk = settings.max_iter
-    n_chunks = -(-settings.max_iter // chunk)
+        sizes = [settings.max_iter]
+    n_chunks = len(sizes)
 
     data = dict(
         Ldi=fac["Ldi"], Lsub_t=fac["Lsub_t"], u=fac["u"], s=fac["s"],
@@ -863,7 +877,7 @@ def _solve_impl(
     # (identity unless the early-exit path permutes between chunks)
     orig = jnp.arange(B)
     for c in range(n_chunks):
-        iters_c = min(chunk, settings.max_iter - c * chunk)
+        iters_c = sizes[c]
         # Every chunk dispatches unconditionally: a program whose 128
         # lanes are all done exits its while_loop before the first
         # iteration, so an all-done dispatch costs only the operand

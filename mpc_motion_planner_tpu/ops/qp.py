@@ -110,7 +110,20 @@ class QPSettings:
     # exit_every is a multiple of check_every (chunk-boundary residual
     # checks then coincide with scheduled ones); results are
     # un-permuted before returning. 0 disables (single dispatch).
+    #
+    # MEASURED (v5e, B=1024, r04 sweep): naive uniform chunking LOSES —
+    # exit_every=100 3094 solves/s, =50 2272 vs 3652 at 0 — because every
+    # chunk re-lays-out ~200 MB of permuted operands into lane-major form,
+    # and that costs more than the skipped iterations. The winning shape
+    # is ONE late sort: exit_warmup=300 runs a single 300-iteration chunk
+    # first (93% of problems converge by then, per the measured iteration
+    # distribution), then one compaction packs the stragglers into a
+    # single 128-lane program for the remaining budget.
     exit_every: int = dataclasses.field(default=0, metadata={"static": True})
+    # First-chunk length before the first compaction boundary (0 = use
+    # exit_every). Use a multiple of check_every to keep exact
+    # single-dispatch semantics.
+    exit_warmup: int = dataclasses.field(default=0, metadata={"static": True})
     # KKT factorization scheme for the explicit M^-1: "lu" (jnp.linalg.inv)
     # or "cholesky" (M is SPD by construction: diag(P) + sigma I + rho_x I
     # + A^T diag(rho_c) A with all weights > 0) — Cholesky + two triangular

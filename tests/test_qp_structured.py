@@ -416,6 +416,22 @@ def test_structured_pallas_early_exit_matches_single_dispatch():
         QPSettings(max_iter=300, rho_update_every=0, exit_every=100),
         soft_c=soft_c, lanes=2,
     )
+    # warmup schedule (one late compaction boundary, the production
+    # shape): chunks [100, 200] must also match exactly
+    got_w = solve_box_qp_structured_pallas(
+        ocp, sa, P, h, lc, uc, lx, ux,
+        QPSettings(
+            max_iter=300, rho_update_every=0, exit_every=200,
+            exit_warmup=100,
+        ),
+        soft_c=soft_c, lanes=2,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_w.converged), np.asarray(ref.converged)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_w.x), np.asarray(ref.x), rtol=1e-6, atol=1e-6
+    )
     np.testing.assert_array_equal(
         np.asarray(got.converged), np.asarray(ref.converged)
     )
