@@ -35,10 +35,13 @@ def main():
     ap.add_argument("--kkt-refine", type=int, default=None,
                     help="default: 0 for structured, 1 for the other backends")
     ap.add_argument("--qp-max-iter", type=int, default=700)
-    ap.add_argument("--exit-every", type=int, default=100,
+    ap.add_argument("--exit-every", type=int, default=None,
                     help="early-exit compaction cadence for the fused "
                          "kernel (QPSettings.exit_every; structured_pallas "
-                         "only, 0 disables)")
+                         "only, 0 disables; default: QPSettings default)")
+    ap.add_argument("--exit-warmup", type=int, default=None,
+                    help="first-chunk length before the first compaction "
+                         "boundary (QPSettings.exit_warmup)")
     args = ap.parse_args()
 
     import jax
@@ -65,15 +68,19 @@ def main():
         args.kkt_refine = (
             0 if args.qp_backend in ("structured", "structured_pallas") else 1
         )
+    qp_kw = dict(
+        backend=args.qp_backend,
+        kkt_refine=args.kkt_refine,
+        max_iter=args.qp_max_iter,
+        rho_update_every=0,
+    )
+    if args.exit_every is not None:
+        qp_kw["exit_every"] = args.exit_every
+    if args.exit_warmup is not None:
+        qp_kw["exit_warmup"] = args.exit_warmup
     planner = MotionPlanner(
         margins=Margins(*args.margins),
-        qp_settings=QPSettings(
-            backend=args.qp_backend,
-            kkt_refine=args.kkt_refine,
-            max_iter=args.qp_max_iter,
-            rho_update_every=0,
-            exit_every=args.exit_every,
-        ),
+        qp_settings=QPSettings(**qp_kw),
     )
 
     # soft-row mask for the elastic variable box (SQPSettings

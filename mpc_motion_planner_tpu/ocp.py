@@ -158,12 +158,12 @@ class TranscribedOCP:
         overhead-bound, ~59 ms/stage at B=1024 — r04 stage breakdown);
         off elsewhere (interpret mode would be slower than XLA).
         Override with MPC_TPU_FUSED_CONSTRAINTS=on/off/auto. Default
-        "off" until the kernel's first hardware validation lands (flip to
-        "auto" once measured — kept conservative so in-flight benchmark
-        sessions never run an unvalidated kernel)."""
+        "auto" (= on on TPU): hardware-validated round 4 — the fused path
+        took the headline bench from 3652 to 6666 solves/s at identical
+        conv/violation (experiments/r04_results.jsonl, KERNELS.md)."""
         import os
 
-        mode = os.environ.get("MPC_TPU_FUSED_CONSTRAINTS", "off")
+        mode = os.environ.get("MPC_TPU_FUSED_CONSTRAINTS", "auto")
         if mode == "off":
             return False
         if mode == "on":

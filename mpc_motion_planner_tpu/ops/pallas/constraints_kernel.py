@@ -277,11 +277,14 @@ def _kernel(xu_ref, *out_refs, consts, with_jac: bool, n_in: int):
     if with_jac:
         # 21 forward-mode tangent passes, batched on a leading axis so the
         # traced op count stays ~2x the value pass (ops act on
-        # (n_in, n_in, S, L) / (n_in, ng, S, L) tiles)
-        basis = jnp.broadcast_to(
-            jnp.eye(n_in, dtype=xu.dtype)[:, :, None, None],
-            (n_in, n_in, *xu.shape[1:]),
-        )
+        # (n_in, n_in, S, L) / (n_in, ng, S, L) tiles). The one-hot basis
+        # is built with full-rank iotas — Mosaic rejects the natural
+        # eye[:, :, None, None] shape cast ("unsupported shape cast" for
+        # (21,21)->(21,21,1,1)).
+        shape = (n_in, n_in, *xu.shape[1:])
+        i_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        basis = (i_idx == j_idx).astype(xu.dtype)
         jvp_one = lambda e: jax.jvp(f, (xu,), (e,))[1]
         J = jax.vmap(jvp_one)(basis)  # (n_in, ng, S, L)
         out_refs[1][0] = J
