@@ -32,7 +32,10 @@ BASELINE_SOLVES_PER_S = float(os.environ.get("BENCH_BASELINE", "0")) or 50.0
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    # B=2048 is the measured throughput-optimal operating point on the
+    # v5e at the shipping config (9137 solves/s vs 8061 at B=1024, r04);
+    # quality is batch-size-independent (the b4096 control, KERNELS.md).
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     import jax
