@@ -137,6 +137,10 @@ def main():
             print(f"# {backend} backend failed ({type(e).__name__}); "
                   f"falling back to {nxt}\n# detail: {str(e)[:2000]}",
                   file=sys.stderr)
+            # the fused constraints kernel is shared by all structured
+            # backends — if the failure was in it, a same-config fallback
+            # would hit it again, so the fallback runs with it disabled
+            os.environ["MPC_TPU_FUSED_CONSTRAINTS"] = "off"
             backend = nxt
             planner, run = make_run(backend)
             out = jax.block_until_ready(run(current, target))
