@@ -1,0 +1,61 @@
+#!/bin/bash
+# Round-5 TPU measurement sequence (VERDICT r04 asks). TPU jobs are
+# SERIALIZED (single exclusive device behind the axon tunnel); each
+# bench.py invocation appends its JSON line, tagged, to
+# experiments/r05_results.jsonl via the `run` helper.
+#
+# Usage: bash experiments/r05_run_tpu.sh <phase>
+# Phases: sweeps | rescue | ruiz | measure | all
+set -u
+cd "$(dirname "$0")/.."
+OUT=experiments/r05_results.jsonl
+
+run() {  # run <tag> [ENV=...]... -- appends tagged bench line
+  local tag="$1"; shift
+  echo ">>> bench $tag: $*" >&2
+  local line
+  line=$(env "$@" timeout 900 python bench.py 2>>experiments/r05_sweep_stderr.log | tail -1)
+  if [ -n "$line" ]; then
+    python - "$tag" "$line" <<'EOF' >> "$OUT"
+import json, sys, time
+rec = json.loads(sys.argv[2]); rec["tag"] = sys.argv[1]
+rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+print(json.dumps(rec))
+EOF
+    echo "$line" >&2
+  else
+    echo "!!! bench $tag produced no output" >&2
+  fi
+}
+
+phase="${1:-all}"
+
+if [ "$phase" = sweeps ] || [ "$phase" = all ]; then
+  # headline + schedule sweep (VERDICT #1a): the [150,150,400] candidate
+  # vs the r04 [300,400] default, plus the legacy-sweep kernel control
+  run b2048_diag BENCH_BATCH=2048
+  run b1024_legacy BENCH_BATCH=1024 MPC_TPU_ADMM_SWEEP=legacy
+  run b2048_sched_150_150_400 BENCH_BATCH=2048 BENCH_EXIT_SCHEDULE=150,150,400
+  run b2048_sched_200_200_300 BENCH_BATCH=2048 BENCH_EXIT_SCHEDULE=200,200,300
+  run b2048_sched_150_550 BENCH_BATCH=2048 BENCH_EXIT_SCHEDULE=150,550
+fi
+
+if [ "$phase" = rescue ] || [ "$phase" = all ]; then
+  # straggler rescue (VERDICT #2): extra compacted budget for the
+  # unconverged tail at the best schedule
+  run b2048_rescue700 BENCH_BATCH=2048 BENCH_RESCUE_ITERS=700
+  run b2048_rescue1400 BENCH_BATCH=2048 BENCH_RESCUE_ITERS=1400
+fi
+
+if [ "$phase" = ruiz ] || [ "$phase" = all ]; then
+  # VERDICT #4: Ruiz sweep-count trade-off
+  run b2048_ruiz4 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=4
+fi
+
+if [ "$phase" = measure ] || [ "$phase" = all ]; then
+  timeout 1800 python experiments/r05_measure.py iterbench --batch 1024
+  timeout 1800 python experiments/r05_measure.py stage --batch 1024
+  timeout 1800 python experiments/r05_measure.py iters --batch 2048 --rescue-iters 700
+  timeout 2400 python experiments/r05_measure.py hot --chains 256 --steps 6
+  timeout 1800 python experiments/r05_measure.py taup --batch 128
+fi

@@ -144,16 +144,27 @@ def benchmark_records(
     solution: Solution,
     target,
     n_points: int = N_CHECK_POINTS,
+    warm_start=None,
 ):
     """Assemble the 162-column benchmark rows + checks for a solved batch.
 
     Returns (records (B, 162), checks_rk, checks_mpc), with the exact
-    column layout of benchmark.cpp:163-194.
+    column layout of benchmark.cpp:163-194. The OTG baseline columns come
+    from the trajectory that actually seeded the solve; hot-restart
+    solutions (solve(z0=...)) carry none, so the caller must pass the
+    `warm_start` trajectory to compare against explicitly.
     """
     nq = planner.ocp.nq
 
+    traj = solution.warm_start if warm_start is None else warm_start
+    if traj is None:
+        raise ValueError(
+            "solution has no OTG warm start (hot-restart solve); pass "
+            "benchmark_records(..., warm_start=<JerkLimitedTrajectory>) to "
+            "choose the baseline trajectory for the RK columns"
+        )
     t_rk, q_rk, qd_rk, qdd_rk, tau_rk = planner.sample_warm_start(
-        solution.warm_start, n_points
+        traj, n_points
     )
     t_mpc, q_mpc, qd_mpc, qdd_mpc, tau_mpc = solution.sample(n_points)
 

@@ -68,6 +68,29 @@ class TranscribedOCP:
     eq_diff_pattern: jax.Array  # E_D: differentiation-matrix block
     eq_dyn_pattern: jax.Array  # C_dyn: -(df/dx, df/du) coupling, scaled by p
 
+    # Fused-constraints routing: "auto" (Pallas kernel on TPU, XLA vmap
+    # elsewhere), "on", "off". A STATIC field so it participates in jit
+    # cache keys — flipping it on a planner/ocp instance re-traces, unlike
+    # the round-4 env var read at trace time (ADVICE r04). The env var
+    # MPC_TPU_FUSED_CONSTRAINTS is still honored, but only ONCE, as the
+    # default at make_ocp() time.
+    fused_constraints: str = dataclasses.field(
+        default="auto", metadata={"static": True}
+    )
+    # A/B flag for the reference's d tau/d p linearization column
+    # (robot_ocp.hpp:124,138): the reference fills the torque rows' p
+    # column with dtau/dv*qdot + dtau/da*qddot even though tau does not
+    # depend on p in this formulation (the height row's p entry stays 0,
+    # robot_ocp.hpp:158-160). False (default) uses the mathematically
+    # correct zero. Supported by the DENSE ('xla') backend only — the
+    # structured operators hard-code the correct zero column; the flag
+    # exists to MEASURE whether the reference's wrong-but-used column
+    # changes its SQP steps materially (VERDICT r04 #5; result recorded in
+    # KERNELS.md: experiments/r05_results.jsonl `taup` phase).
+    tau_p_column: bool = dataclasses.field(
+        default=False, metadata={"static": True}
+    )
+
     @property
     def nq(self) -> int:
         return self.model.nq
@@ -136,6 +159,26 @@ class TranscribedOCP:
         idx = jnp.asarray(self.coll.segment_indices())  # (S, order+1)
         return (dX - p * f[idx]).reshape(-1)
 
+    def eq_residual_quadratic(self, z, d):
+        """Exact quadratic expansion of the defects along a step direction.
+
+        The defect c(z) = D.X - p f(X, U) is bilinear in (p, [X; U]), so
+        c(z + a d) = c0 + a c1 + a^2 c2 EXACTLY for every step size a —
+        the merit line search evaluates all its candidates from these
+        three (num_eq,) vectors instead of re-running the full defect
+        chain at line_search_max_iter x batch (the r04 trace's second-
+        largest non-ADMM cost). Returns (c0, c1, c2).
+        """
+        X, U, p = self.unpack(z)
+        dX_d, dU_d, dp = self.unpack(d)
+        idx = jnp.asarray(self.coll.segment_indices())
+        f_z = self.dynamics(X, U)[idx]  # (S, order+1, nx)
+        f_d = self.dynamics(dX_d, dU_d)[idx]
+        c0 = derivative_at_nodes(self.coll, X) - p * f_z
+        c1 = derivative_at_nodes(self.coll, dX_d) - p * f_d - dp * f_z
+        c2 = -dp * f_d
+        return c0.reshape(-1), c1.reshape(-1), c2.reshape(-1)
+
     def node_constraints(self, x, u):
         """Per-node inequality g = [tau (nq), tool height] (robot_ocp.hpp:91)."""
         nq = self.nq
@@ -153,20 +196,17 @@ class TranscribedOCP:
 
     def _use_fused_constraints(self) -> bool:
         """Route batched constraint evaluation through the lane-major
-        Pallas kernel (ops/pallas/constraints_kernel.py). Trace-time
-        decision: on TPU by default (where the XLA path is per-op
-        overhead-bound, ~59 ms/stage at B=1024 — r04 stage breakdown);
-        off elsewhere (interpret mode would be slower than XLA).
-        Override with MPC_TPU_FUSED_CONSTRAINTS=on/off/auto. Default
-        "auto" (= on on TPU): hardware-validated round 4 — the fused path
-        took the headline bench from 3652 to 6666 solves/s at identical
-        conv/violation (experiments/r04_results.jsonl, KERNELS.md)."""
-        import os
-
-        mode = os.environ.get("MPC_TPU_FUSED_CONSTRAINTS", "auto")
-        if mode == "off":
+        Pallas kernel (ops/pallas/constraints_kernel.py). Decided by the
+        STATIC `fused_constraints` field (part of every jit cache key):
+        "auto" = on when the default backend is TPU (where the XLA path is
+        per-op overhead-bound, ~59 ms/stage at B=1024 — r04 stage
+        breakdown), off elsewhere (interpret mode would be slower than
+        XLA). Hardware-validated round 4: the fused path took the headline
+        bench from 3652 to 6666 solves/s at identical conv/violation
+        (experiments/r04_results.jsonl, KERNELS.md)."""
+        if self.fused_constraints == "off":
             return False
-        if mode == "on":
+        if self.fused_constraints == "on":
             return True
         return jax.default_backend() == "tpu"
 
@@ -221,11 +261,31 @@ class TranscribedOCP:
         return A.at[:, -1].add(-f_rows)
 
     def ineq_jacobian(self, z):
-        """Dense (num_ineq, num_var) constraint Jacobian (exact; dg/dp = 0)."""
+        """Dense (num_ineq, num_var) constraint Jacobian (exact; dg/dp = 0
+        unless `tau_p_column` replays the reference's nonzero fill)."""
         J = self.node_constraint_jacobians(z)  # (nodes, ng, nx+nu)
         rows, cols = _ineq_scatter_indices(self)
         A = jnp.zeros((self.num_ineq, self.num_var), dtype=z.dtype)
-        return A.at[rows, cols].set(J.reshape(-1))
+        A = A.at[rows, cols].set(J.reshape(-1))
+        if self.tau_p_column:
+            # Reference parity experiment (robot_ocp.hpp:124,138): torque
+            # rows' p column = dtau/dv qdot + dtau/da qddot, one jvp of
+            # tau(q, ., .) in direction (qdot, qddot); height rows stay 0.
+            X, U, _ = self.unpack(z)
+            nq = self.nq
+
+            def col(x, u):
+                tau_of = lambda v, a: rnea.rnea(self.model, x[:nq], v, a)
+                _, dtau = jax.jvp(tau_of, (x[nq:], u), (x[nq:], u))
+                return dtau  # (nq,)
+
+            dtau_p = jax.vmap(col)(X, U)  # (nodes, nq)
+            trows = (
+                jnp.arange(self.num_nodes)[:, None] * self.ng
+                + jnp.arange(nq)[None, :]
+            ).reshape(-1)
+            A = A.at[trows, -1].set(dtau_p.reshape(-1))
+        return A
 
     def constraint_matrix(self, z):
         """Stacked (num_eq + num_ineq, num_var) linearization."""
@@ -283,6 +343,8 @@ def make_ocp(
     order: int = 3,
     num_segments: int = 6,
     dtype=None,
+    fused_constraints: str = None,
+    tau_p_column: bool = False,
 ) -> TranscribedOCP:
     coll = make_collocation(order, num_segments, dtype=dtype)
     nx, nu = 2 * model.nq, model.nq
@@ -291,12 +353,24 @@ def make_ocp(
         model = model.astype(dtype)
         E = E.astype(dtype)
         C = C.astype(dtype)
+    if fused_constraints is None:
+        # env override is read ONCE here (construction time), never at
+        # trace time — flipping the env after construction has no effect,
+        # flipping the field (a static pytree field) re-traces correctly.
+        import os
+
+        fused_constraints = os.environ.get("MPC_TPU_FUSED_CONSTRAINTS", "auto")
+    if fused_constraints not in ("auto", "on", "off"):
+        raise ValueError(f"fused_constraints must be auto/on/off, got "
+                         f"{fused_constraints!r}")
     return TranscribedOCP(
         model=model,
         coll=coll,
         tool_frame=model.frame(tool_frame_name),
         eq_diff_pattern=jnp.asarray(E),
         eq_dyn_pattern=jnp.asarray(C),
+        fused_constraints=fused_constraints,
+        tau_p_column=tau_p_column,
     )
 
 

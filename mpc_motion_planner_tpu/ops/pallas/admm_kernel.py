@@ -52,6 +52,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..qp import _HARD  # single source of truth for the hard-row stand-in
+
 PAD = 512  # padded size for both variable and constraint dimensions
 bf16 = jnp.bfloat16
 f32 = jnp.float32
@@ -94,6 +96,7 @@ def _admm_kernel(
     group: int,
     chunk_iters: int,
     check_every: int,
+    hard: float,
     eps_abs: float,
     eps_rel: float,
     sigma: float,
@@ -121,13 +124,11 @@ def _admm_kernel(
     D, E = D_ref[0], E_ref[0]
     # soft-row shrink thresholds (hard rows: huge finite). The numerator is
     # capped BEFORE the divide so the quotient can never overflow f32 to
-    # inf inside VMEM, regardless of how small rc/rx get (qp._HARD is the
-    # hard-row stand-in; _HARD * rc keeps hard rows at exactly _HARD after
+    # inf inside VMEM, regardless of how small rc/rx get (`hard` is baked
+    # in from qp._HARD; hard * rc keeps hard rows at exactly `hard` after
     # the divide, where the shrink clip never binds).
-    _HARD = 1e20  # == qp._HARD (kept literal: the kernel module is
-    # import-light by design; pinned by tests/test_qp.py parity)
-    thr = jnp.minimum(sc_ref[0], _HARD * rc) / rc
-    thr_x = jnp.minimum(sx_ref[0], _HARD * rx) / rx
+    thr = jnp.minimum(sc_ref[0], hard * rc) / rc
+    thr_x = jnp.minimum(sx_ref[0], hard * rx) / rx
 
     prec = (
         jax.lax.Precision.DEFAULT
@@ -384,6 +385,7 @@ def admm_pallas_chunk(
         group=G,
         chunk_iters=chunk_iters,
         check_every=check_every,
+        hard=_HARD,
         eps_abs=eps_abs,
         eps_rel=eps_rel,
         sigma=sigma,

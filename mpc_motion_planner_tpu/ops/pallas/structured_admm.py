@@ -57,6 +57,16 @@ from .banded_factor import factor_banded_pallas
 
 f32 = jnp.float32
 
+# VMEM budget for the fused kernel. The r05 transposed factor copies
+# (LdiT/LsubT/JtT, ~19 MB/program) push the double-buffered operand set
+# past the old 100 MB limit at grid > 1 (the v5e has 128 MiB of VMEM);
+# overridable for experiments via MPC_TPU_ADMM_VMEM_MB.
+import os as _os
+
+_VMEM_LIMIT_BYTES = int(
+    float(_os.environ.get("MPC_TPU_ADMM_VMEM_MB", "127")) * 1024 * 1024
+)
+
 
 # ---------------------------------------------------------------------------
 # Static geometry helpers
@@ -139,6 +149,7 @@ def _structured_kernel(
     sigma: float,
     alpha: float,
     kkt_refine: int,
+    sweep: str,
 ):
     nodes, nx, nu, nq, ng = g["nodes"], g["nx"], g["nu"], g["nq"], g["ng"]
     S, K, blk, bw = g["S"], g["K"], g["blk"], g["bw"]
@@ -152,11 +163,14 @@ def _structured_kernel(
     def take():
         return next(it)[0]
 
-    Ldi = take()  # (N, blk, blk, L)
-    Lsub = take()  # (bw, N, blk, blk, L)
+    Ldi = take()  # (N, blk, blk, L)   [row, col]
+    LdiT = take() if sweep in ("diag", "full") else None  # [col, row]
+    Lsub = take()  # (bw, N, blk, blk, L)   [row, col]
+    LsubT = take() if sweep == "full" else None  # [col, row]
     u_arr = take()  # (N, blk, L)
     s_arr = take()  # (1, L)
     Jt = take()  # (N, ng, blk, L)
+    JtT = take() if sweep in ("diag", "full") else None  # (N, blk, ng, L)
     f_seg = take()  # (S*K, nx, L)
     p_t = take()  # (1, L)
     xop = {}
@@ -213,9 +227,17 @@ def _structured_kernel(
             [vX_seg[:, nq:, :], vU_seg], axis=1
         )  # (S*K, nx, L)
         eq = dX - p_t[None] * f_lin_seg - f_seg * vp[None]
-        # inequality rows: J blocks over [X; U]
+        # inequality rows: J blocks over [X; U]. With a transposed copy
+        # (sweep != legacy), contract over blk as the OUTER axis (sum over
+        # axis 1) — a chain of vreg FMAs with per-component sublane
+        # broadcasts — instead of a cross-sublane reduction over Jt's blk
+        # axis, which Mosaic lowers to rotate-add trees (VERDICT r04 #1b
+        # "fewer sublane broadcasts in the triangular sweeps").
         vn = jnp.concatenate([vX, vU], axis=1)  # (N, blk, L)
-        gg = jnp.sum(Jt * vn[:, None, :, :], axis=2)  # (N, ng, L)
+        if JtT is not None:
+            gg = jnp.sum(JtT * vn[:, :, None, :], axis=1)  # (N, ng, L)
+        else:
+            gg = jnp.sum(Jt * vn[:, None, :, :], axis=2)  # (N, ng, L)
         return dict(eq=eq, g=gg)
 
     def matAT_raw(w):
@@ -279,13 +301,38 @@ def _structured_kernel(
         return dict(X=b[:, :nx, :], U=b[:, nx : nx + nu, :], p=vp)
 
     def banded_solve_t(r):
-        """(N, blk, L) solve with the lane-major banded factors."""
+        """(N, blk, L) solve with the lane-major banded factors.
+
+        A contraction over the leading (outer) block axis is a chain of
+        (blk, L)-vreg FMAs accumulating M_layout[j] * v[j] with v[j]
+        sublane-broadcast; a contraction over the SUBLANE axis is a
+        rotate-add reduction tree per output row (slower on the VPU —
+        VERDICT r04 #1b). The backward sweep needs M^T @ v and gets the
+        outer-axis form for free from the [row, col] blocks; the forward
+        sweep needs M @ v, which is outer-axis only via TRANSPOSED copies
+        ([col, row]). The `sweep` variant picks which copies exist:
+        "legacy" = none (r04 behavior, forward contracts over sublanes),
+        "diag" = LdiT + JtT only (the production default: the LsubT
+        copies are what overflow VMEM at grid > 1 — 140.6 MB > 128 MB,
+        measured), "full" = all copies (fits only at B <= 128 lanes).
+        """
         ys = []
         for k in range(nodes):
             acc = r[k]
             for d in range(1, min(bw, k) + 1):
-                acc = acc - jnp.sum(Lsub[d - 1, k - d] * ys[k - d][None], axis=1)
-            ys.append(jnp.sum(Ldi[k] * acc[None], axis=1))
+                if LsubT is not None:
+                    # Lsub[d-1, k-d] @ ys[k-d] via the transposed copy
+                    acc = acc - jnp.sum(
+                        LsubT[d - 1, k - d] * ys[k - d][:, None], axis=0
+                    )
+                else:
+                    acc = acc - jnp.sum(
+                        Lsub[d - 1, k - d] * ys[k - d][None], axis=1
+                    )
+            if LdiT is not None:
+                ys.append(jnp.sum(LdiT[k] * acc[:, None], axis=0))
+            else:
+                ys.append(jnp.sum(Ldi[k] * acc[None], axis=1))
         xs = [None] * nodes
         for k in range(nodes - 1, -1, -1):
             acc = ys[k]
@@ -658,6 +705,18 @@ def _solve_impl(
     nb = -(-B // lanes)
     Bp = nb * lanes
 
+    # Sweep-layout variant for the in-kernel triangular solves (see
+    # banded_solve_t): "diag" is the production default; "full" adds the
+    # LsubT copies, whose double-buffered input windows overflow the v5e's
+    # 128 MB VMEM at grid > 1 (measured: 140.6 MB) — downgraded to "diag"
+    # there; "legacy" reproduces the r04 kernel exactly.
+    sweep = _os.environ.get("MPC_TPU_ADMM_SWEEP", "diag")
+    if sweep not in ("legacy", "diag", "full"):
+        raise ValueError(f"MPC_TPU_ADMM_SWEEP must be legacy/diag/full, "
+                         f"got {sweep!r}")
+    if sweep == "full" and nb > 1:
+        sweep = "diag"
+
     def pad(a, fill=0.0):
         if Bp == B:
             return a
@@ -714,12 +773,24 @@ def _solve_impl(
         # iterate magnitude ever approaches 1e20.
         thr = jnp.minimum(data["soft_s"], _HARD * rc) / rc
         thx = jnp.minimum(data["soft_xs"], _HARD * rx) / rx
-        operands = [
-            cl(pad(data["Ldi"])),
-            cl(pad(data["Lsub_t"])),  # (B, bw, N, blk, blk)
+        # transposed copies ([col, row] layout) for the forward triangular
+        # sweep / the A-apply J contraction — see banded_solve_t; computed
+        # here (XLA) so the kernel never pays in-VMEM transposes. Which
+        # copies ship is the `sweep` variant's VMEM/speed trade-off.
+        operands = [cl(pad(data["Ldi"]))]
+        if sweep in ("diag", "full"):
+            operands.append(cl(pad(jnp.swapaxes(data["Ldi"], -1, -2))))
+        operands.append(cl(pad(data["Lsub_t"])))  # (B, bw, N, blk, blk)
+        if sweep == "full":
+            operands.append(cl(pad(jnp.swapaxes(data["Lsub_t"], -1, -2))))
+        operands += [
             cl(pad(data["u"])),
             cl(pad(data["s"], 1.0)[:, None]),  # 1.0: divide-safe dummies
             cl(pad(data["Jt"])),
+        ]
+        if sweep in ("diag", "full"):
+            operands.append(cl(pad(jnp.swapaxes(data["Jt"], -1, -2))))
+        operands += [
             cl(pad(data["f_seg"])),
             cl(pad(data["pt"])[:, None]),
         ]
@@ -753,6 +824,7 @@ def _solve_impl(
             sigma=settings.sigma,
             alpha=settings.alpha,
             kkt_refine=settings.kkt_refine,
+            sweep=sweep,
         )
 
         outs = pl.pallas_call(
@@ -762,7 +834,7 @@ def _solve_impl(
             out_specs=out_specs,
             out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=int(100 * 1024 * 1024),
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES,
             ),
             interpret=jax.default_backend() != "tpu",
         )(*operands)
@@ -829,11 +901,11 @@ def _solve_impl(
         )
 
     # ---- chunk cadence: adaptive rho owns the chunk size when enabled;
-    # otherwise the early-exit compaction cadence (exit_every); otherwise
-    # one monolithic dispatch ----
+    # otherwise the early-exit compaction cadence (exit_schedule /
+    # exit_warmup+exit_every); otherwise one monolithic dispatch ----
     early_exit = (
         settings.rho_update_every == 0
-        and settings.exit_every > 0
+        and (settings.exit_every > 0 or settings.exit_schedule)
         and B > lanes
     )
     if settings.rho_update_every > 0:
@@ -843,19 +915,50 @@ def _solve_impl(
             for c in range(-(-settings.max_iter // chunk))
         ]
     elif early_exit:
-        # warmup chunk first (one LATE compaction boundary is the
-        # measured optimum — see QPSettings.exit_every), then exit_every
-        # cadence for the remainder
-        first = min(
-            settings.exit_warmup or settings.exit_every, settings.max_iter
-        )
-        sizes = [first]
-        while sum(sizes) < settings.max_iter:
-            sizes.append(
-                min(settings.exit_every, settings.max_iter - sum(sizes))
+        if settings.exit_schedule:
+            sizes = [int(s) for s in settings.exit_schedule.split(",")]
+            if sum(sizes) != settings.max_iter or any(s <= 0 for s in sizes):
+                raise ValueError(
+                    f"exit_schedule {settings.exit_schedule!r} must be "
+                    f"positive chunk lengths summing to max_iter "
+                    f"({settings.max_iter})"
+                )
+        else:
+            # warmup chunk first (one LATE compaction boundary is the
+            # measured optimum — see QPSettings.exit_every), then
+            # exit_every cadence for the remainder
+            first = min(
+                settings.exit_warmup or settings.exit_every,
+                settings.max_iter,
+            )
+            sizes = [first]
+            while sum(sizes) < settings.max_iter:
+                sizes.append(
+                    min(settings.exit_every, settings.max_iter - sum(sizes))
+                )
+        # Exact single-dispatch semantics require every compaction
+        # boundary to coincide with a scheduled residual check — a
+        # non-multiple chunk would silently add chunk-boundary checks and
+        # change results vs exit_every=0 (ADVICE r04).
+        bad = [s for s in sizes if s % settings.check_every != 0]
+        if bad:
+            raise ValueError(
+                f"early-exit chunk sizes {sizes} must be multiples of "
+                f"check_every ({settings.check_every}); offending: {bad}"
             )
     else:
         sizes = [settings.max_iter]
+    if settings.rescue_iters > 0 and settings.rho_update_every == 0:
+        if early_exit:
+            # straggler rescue: one extra compacted chunk that only
+            # still-active problems (packed into the leading lane groups)
+            # iterate through — see QPSettings.rescue_iters
+            sizes.append(settings.rescue_iters)
+        else:
+            # no compaction available (single dispatch / B <= lanes):
+            # extend the in-kernel budget — identical effective cap
+            # (max_iter + rescue_iters) as the XLA structured path
+            sizes[-1] += settings.rescue_iters
     n_chunks = len(sizes)
 
     data = dict(

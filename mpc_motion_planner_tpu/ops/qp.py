@@ -130,6 +130,28 @@ class QPSettings:
     # exit_every). Use a multiple of check_every to keep exact
     # single-dispatch semantics.
     exit_warmup: int = dataclasses.field(default=300, metadata={"static": True})
+    # Explicit chunk schedule for the early-exit dispatch, e.g.
+    # "150,150,400": comma-separated chunk lengths that must sum to
+    # max_iter, each a multiple of check_every. Overrides
+    # exit_warmup/exit_every when non-empty. Exists because the optimal
+    # shape is workload-measured, not derived — r04 found [300, 400] best;
+    # r05 sweeps denser schedules ([150,150,400]) against the ~4 ms
+    # re-layout cost of each extra boundary.
+    exit_schedule: str = dataclasses.field(default="", metadata={"static": True})
+    # Straggler-rescue budget: EXTRA ADMM iterations beyond max_iter
+    # granted only to problems still unconverged when the scheduled budget
+    # ends. On the structured_pallas early-exit path the stragglers are
+    # already compacted into the leading lane group(s), so the rescue
+    # chunk costs ~one program's iterations (~4 ms at B>=1024) instead of
+    # the whole batch re-running; on the XLA structured path it simply
+    # extends the masked while_loop cap (converged problems are frozen —
+    # identical results, linear extra wall time). The reference has no
+    # equivalent (fixed 700, motionPlanner.cpp:16-19); this exists because
+    # the residual ~0.6% non-convergence is slow DUAL convergence near
+    # tolerance (KERNELS.md), which extra iterations do fix — unlike the
+    # pre-elastic-box infeasibility plateau, which they provably did not.
+    # `QPSolution.iterations` may exceed max_iter for rescued problems.
+    rescue_iters: int = dataclasses.field(default=0, metadata={"static": True})
     # KKT factorization scheme for the explicit M^-1: "lu" (jnp.linalg.inv)
     # or "cholesky" (M is SPD by construction: diag(P) + sigma I + rho_x I
     # + A^T diag(rho_c) A with all weights > 0) — Cholesky + two triangular

@@ -708,6 +708,11 @@ def _solve_structured_impl(
         )
         return r_prim, r_dual, conv, ratio
 
+    # effective iteration cap: rescue_iters extends the masked loop (see
+    # QPSettings.rescue_iters; converged problems are frozen, so results
+    # for them are identical — only stragglers use the extra budget)
+    cap = settings.max_iter + settings.rescue_iters
+
     def step(state):
         x, zc, zx, yc, yx, done, iters, rp, rd, rho_s, fac, k = state
 
@@ -774,7 +779,7 @@ def _solve_structured_impl(
 
         args = (x, zc, zx, yc, yx, done, iters, rp, rd, rho_s, fac)
         x, zc, zx, yc, yx, done, iters, rp, rd, rho_s, fac = jax.lax.cond(
-            (k % settings.check_every == 0) | (k >= settings.max_iter),
+            (k % settings.check_every == 0) | (k >= cap),
             check,
             lambda a: a,
             args,
@@ -783,7 +788,7 @@ def _solve_structured_impl(
 
     def cond(state):
         *_, done, _, _, _, _, _, k = state
-        return (k < settings.max_iter) & ~jnp.all(done)
+        return (k < cap) & ~jnp.all(done)
 
     zeros_b = jnp.zeros(B, dt)
     state = (
@@ -793,7 +798,7 @@ def _solve_structured_impl(
         yc,
         yx,
         jnp.zeros(B, bool),
-        jnp.full(B, settings.max_iter, jnp.int32),
+        jnp.full(B, cap, jnp.int32),
         zeros_b,
         zeros_b,
         rho0,

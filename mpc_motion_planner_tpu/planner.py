@@ -60,7 +60,12 @@ class Solution:
     qp_iterations: jax.Array  # (B, sqp_iters)
     qp_converged: jax.Array
     step_sizes: jax.Array
-    warm_start: JerkLimitedTrajectory  # the OTG trajectory used to seed
+    # The OTG trajectory used to seed the solve, or None for hot-restart
+    # solves (solve(z0=...)), which skip OTG planning entirely — mirroring
+    # solve_trajectory(false), motionPlanner.cpp:179-181. When present it
+    # is ALWAYS the actual seed; consumers (benchmark_records) never
+    # validate a trajectory that did not seed the solve.
+    warm_start: Optional[JerkLimitedTrajectory]
 
     @property
     def final_time(self):
@@ -298,18 +303,31 @@ class MotionPlanner:
         target_state,
         z0=None,
         min_height=None,
+        lam_c0=None,
+        lam_x0=None,
     ) -> Solution:
         """Batched minimum-time solve (solve_trajectory semantics).
 
-        current_state/target_state: (B, 2*nq). If z0 is None the OTG warm
-        start is used (use_ruckig_as_warm_start=true).
+        current_state/target_state: (B, 2*nq). If z0 is None an OTG warm
+        start is planned and used (use_ruckig_as_warm_start=true); when z0
+        is given (the hot-restart path, typically Solution.reseed_guess of
+        the previous solve) NO OTG trajectory is planned — mirroring
+        solve_trajectory(false), which skips Ruckig entirely
+        (motionPlanner.cpp:179-181) — and Solution.warm_start is None.
+
+        lam_c0/lam_x0 optionally seed the SQP dual estimates; the reference
+        solver object keeps its duals across solves, so hot-restart chains
+        may carry them from the previous SQPResult.
         """
-        traj = self.plan_warm_start(current_state, target_state)
         if z0 is None:
+            traj = self.plan_warm_start(current_state, target_state)
             z0 = self.warm_start_vector(traj)
+        else:
+            traj = None
         bounds = self.nlp_bounds(current_state, target_state, min_height)
         res: SQPResult = sqp_solve(
-            self.ocp, bounds, z0, self.sqp_settings, self.qp_settings
+            self.ocp, bounds, z0, self.sqp_settings, self.qp_settings,
+            lam_c0=lam_c0, lam_x0=lam_x0,
         )
         return Solution(
             ocp=self.ocp,

@@ -115,3 +115,46 @@ def test_bounds_assembly(ocp):
     # torque rows and height rows tile correctly
     assert float(b.lb_ineq[7]) == pytest.approx(0.05)
     assert float(b.ub_ineq[0]) == 87.0
+
+
+def test_eq_residual_quadratic(ocp):
+    """The line search evaluates candidate defects from the exact quadratic
+    expansion (c is bilinear in (p, [X; U])); pin it against direct
+    evaluation at several step sizes (ops/sqp._line_search)."""
+    z = _rand_z(ocp, seed=3)
+    d = _rand_z(ocp, seed=4, scale=0.3) - _rand_z(ocp, seed=5, scale=0.2)
+    c0, c1, c2 = ocp.eq_residual_quadratic(z, d)
+    for a in (0.0, 0.125, 0.5, 1.0):
+        direct = ocp.eq_residual(z + a * d)
+        quad = c0 + a * c1 + a * a * c2
+        np.testing.assert_allclose(
+            np.asarray(quad), np.asarray(direct), atol=1e-11
+        )
+
+
+def test_tau_p_column_matches_reference_fill(ocp):
+    """tau_p_column=True replays robot_ocp.hpp:124,138: torque rows' p
+    column = dtau/dv qdot + dtau/da qddot; height rows stay zero; every
+    other column is untouched."""
+    import dataclasses
+
+    from mpc_motion_planner_tpu.ops import rnea
+
+    z = _rand_z(ocp, seed=7)
+    ocp_ref = dataclasses.replace(ocp, tau_p_column=True)
+    A0 = np.asarray(ocp.ineq_jacobian(z))
+    A1 = np.asarray(ocp_ref.ineq_jacobian(z))
+    np.testing.assert_allclose(A0[:, :-1], A1[:, :-1], atol=0)
+    assert np.all(A0[:, -1] == 0)
+    X, U, _ = ocp.unpack(z)
+    nq, ng = ocp.nq, ocp.ng
+    for node in (0, 7, 18):
+        x, u = X[node], U[node]
+        tau_of = lambda v, a: rnea.rnea(ocp.model, x[:nq], v, a)
+        Jv = jax.jacfwd(tau_of, argnums=0)(x[nq:], u)
+        Ja = jax.jacfwd(tau_of, argnums=1)(x[nq:], u)
+        expect = np.asarray(Jv @ x[nq:] + Ja @ u)
+        got = A1[node * ng : node * ng + nq, -1]
+        np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-10)
+        # height row's p entry stays zero (robot_ocp.hpp:158-160)
+        assert A1[node * ng + nq, -1] == 0.0

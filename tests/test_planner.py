@@ -164,3 +164,53 @@ def test_ik_random_start(planner):
     R2, p2 = frame_placement(planner.model, q_sol, planner._tool)
     if bool(ok):  # random starts can fail on hard poses; converged must match
         np.testing.assert_allclose(np.asarray(p2), np.asarray(p), atol=1e-3)
+
+
+def test_hot_restart_solve(planner, solved):
+    """solve(z0=...) — the hot-restart path (solve_trajectory(false),
+    motionPlanner.cpp:177-208): skips OTG planning (warm_start is None),
+    converges at least as fast as the fresh solve it restarts from, and
+    the re-used boundary pins hold exactly."""
+    cur, tgt, sol = solved
+    z0 = sol.reseed_guess(cur, tgt)
+    hot = planner.solve(cur, tgt, z0=z0, lam_c0=sol.lam_c, lam_x0=sol.lam_x)
+    assert hot.warm_start is None
+    X, _, _ = hot.states()
+    np.testing.assert_allclose(np.asarray(X[0, 0]), np.asarray(cur[0]), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(X[0, -1]), np.asarray(tgt[0]), atol=1.2e-2)
+    # restarting from a solved iterate: no worse violation, no more QP work
+    assert float(hot.violation[0]) <= float(sol.violation[0]) * 1.05 + 1e-6
+    assert int(np.asarray(hot.qp_iterations).sum()) <= int(
+        np.asarray(sol.qp_iterations).sum()
+    )
+
+
+def test_hot_restart_receding_horizon(planner, solved):
+    """The hot-restart use case the reseed exists for
+    (motionPlanner.cpp:199-207): the TARGET stays fixed and the start
+    advances along the previous solution — the previous trajectory is
+    then an excellent guess and every hot solve converges with good
+    quality and a shrinking time-to-go. (Re-seeding across a CHANGED
+    target is measured WORSE than a fresh OTG warm start —
+    experiments/r05_results.jsonl `hot` phase, negative-result arm — so
+    this receding pattern is the supported hot path.)"""
+    cur, tgt, sol = solved
+    t_prev = float(sol.final_time[0])
+    for _ in range(3):
+        # advance the start 10% of the remaining horizon along the solution
+        cur = sol.x_at(jnp.asarray(0.1, sol.z.dtype))
+        sol = planner.solve(
+            cur, tgt, z0=sol.reseed_guess(cur, tgt),
+            lam_c0=sol.lam_c, lam_x0=sol.lam_x,
+        )
+        assert sol.warm_start is None
+        X, _, _ = sol.states()
+        np.testing.assert_allclose(
+            np.asarray(X[0, -1]), np.asarray(tgt[0]), atol=1.2e-2
+        )
+        assert float(sol.violation[0]) < 1e-1
+        assert bool(np.all(np.asarray(sol.qp_converged)))
+        # minimum time shrinks as the start closes on the target
+        t_now = float(sol.final_time[0])
+        assert t_now <= t_prev * 1.02
+        t_prev = t_now
