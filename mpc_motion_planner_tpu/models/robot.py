@@ -39,7 +39,14 @@ class Frame:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class RobotModel:
-    """Serial-chain rigid body model (structure of arrays over joints)."""
+    """Rigid body model (structure of arrays over joints).
+
+    Joints are stored in topological order (every parent precedes its
+    children). ``parent`` holds each joint's parent joint index (-1 =
+    world); the empty default means a serial chain (parent = i - 1), the
+    only case the reference planner uses — branched trees (the
+    ``panda_mass.urdf`` variant's two finger joints) are supported by the
+    FK/RNEA/Jacobian layers via the same static tuple."""
 
     # Static per-joint metadata
     joint_types: Tuple[int, ...] = dataclasses.field(metadata={"static": True})
@@ -60,9 +67,35 @@ class RobotModel:
     # Named operational frames (static keys)
     frames: Dict[str, Frame] = dataclasses.field(default_factory=dict)
 
+    # Parent joint index per joint (-1 = world); () = serial chain.
+    parent: Tuple[int, ...] = dataclasses.field(
+        default=(), metadata={"static": True}
+    )
+
     @property
     def nq(self) -> int:
         return len(self.joint_types)
+
+    @property
+    def is_serial(self) -> bool:
+        return self.parent == () or all(
+            p == i - 1 for i, p in enumerate(self.parent)
+        )
+
+    def parent_indices(self) -> Tuple[int, ...]:
+        """Effective parent index per joint (-1 = world)."""
+        return self.parent or tuple(range(-1, self.nq - 1))
+
+    def ancestor_mask(self, joint: int) -> Tuple[bool, ...]:
+        """mask[i] = joint i is `joint` or one of its ancestors — the
+        joints whose motion moves frames attached to `joint`."""
+        par = self.parent_indices()
+        mask = [False] * self.nq
+        j = joint
+        while j >= 0:
+            mask[j] = True
+            j = par[j]
+        return tuple(mask)
 
     def astype(self, dtype) -> "RobotModel":
         cast = lambda x: jnp.asarray(x, dtype)
@@ -80,6 +113,7 @@ class RobotModel:
                 k: Frame(f.parent_joint, cast(f.rotation), cast(f.translation))
                 for k, f in self.frames.items()
             },
+            parent=self.parent,
         )
 
     def frame(self, name: str) -> Frame:

@@ -92,9 +92,12 @@ def parse_urdf(
 ) -> RobotModel:
     """Parse a URDF string or file path into a :class:`RobotModel`.
 
-    Only serial chains are supported: each link must have at most one child
-    joint after fixed-joint folding (the reference planner only ever uses the
-    7-joint Panda arm chain).
+    Kinematic TREES are supported (r05): a link may carry several child
+    joints — e.g. the ``panda_mass.urdf`` variant's hand with two
+    prismatic finger joints (/root/reference/robot_utils/panda-model/
+    panda_mass.urdf). Joints are emitted in topological (pre-)order and
+    each records its parent moving joint; for the serial chains the
+    planner uses, ``RobotModel.parent`` stays the implicit default.
     """
     if "<robot" in source:
         root = ET.fromstring(source)
@@ -124,16 +127,12 @@ def parse_urdf(
     inertias: List[np.ndarray] = []
     frames: Dict[str, Frame] = {}
 
+    parents: List[int] = []
+
     def walk(link_name: str, fixed_R: np.ndarray, fixed_p: np.ndarray, moving_idx: int):
         """Traverse from `link_name`, which sits at (fixed_R, fixed_p) relative
         to the frame of moving joint `moving_idx` (-1 = world)."""
-        children = child_of.get(link_name, [])
-        if len(children) > 1:
-            raise ValueError(
-                f"link '{link_name}' has {len(children)} child joints; only "
-                "serial chains are supported"
-            )
-        for j in children:
+        for j in child_of.get(link_name, []):
             jR, jp = _parse_origin(j.find("origin"))
             R = fixed_R @ jR
             p = fixed_R @ jp + fixed_p
@@ -156,6 +155,7 @@ def parse_urdf(
                 walk(child, R, p, moving_idx)
             elif jtype in _JOINT_TYPES:
                 idx = len(joint_names)
+                parents.append(moving_idx)
                 joint_names.append(j.get("name"))
                 joint_types.append(_JOINT_TYPES[jtype])
                 tree_R.append(R)
@@ -190,6 +190,7 @@ def parse_urdf(
         inertia=np.stack(inertias),
         gravity=np.asarray(gravity, dtype=np.float64),
         frames=frames,
+        parent=tuple(parents),
     )
     if dtype is not None:
         model = model.astype(dtype)

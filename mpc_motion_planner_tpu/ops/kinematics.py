@@ -29,10 +29,12 @@ def fk(model: RobotModel, q) -> Tuple[jnp.ndarray, jnp.ndarray]:
     is the world placement of joint ``i``'s frame (pinocchio ``data.oMi[i+1]``).
     """
     Rs, ps = [], []
-    R = jnp.eye(3, dtype=model.tree_rotation.dtype)
-    p = jnp.zeros(3, dtype=model.tree_translation.dtype)
+    eye = jnp.eye(3, dtype=model.tree_rotation.dtype)
+    zero = jnp.zeros(3, dtype=model.tree_translation.dtype)
+    par = model.parent_indices()
     for i, jtype in enumerate(model.joint_types):
-        R, p = spatial.compose(R, p, model.tree_rotation[i], model.tree_translation[i])
+        Rp, pp = (Rs[par[i]], ps[par[i]]) if par[i] >= 0 else (eye, zero)
+        R, p = spatial.compose(Rp, pp, model.tree_rotation[i], model.tree_translation[i])
         if jtype == PRISMATIC:
             p = p + R @ (model.axis[i] * q[i])
         else:
@@ -79,6 +81,12 @@ def frame_jacobian(model: RobotModel, q, frame: Frame) -> jnp.ndarray:
     )[:, None]
     lin = jnp.where(is_prismatic, axes, lin_rev)
     ang = jnp.where(is_prismatic, jnp.zeros_like(axes), axes)
+    # Tree support: only the frame's ancestor joints move it — zero the
+    # other columns (a no-op mask for serial chains).
+    if not model.is_serial:
+        anc = jnp.asarray(model.ancestor_mask(frame.parent_joint), bool)[:, None]
+        lin = jnp.where(anc, lin, 0.0)
+        ang = jnp.where(anc, ang, 0.0)
     return jnp.concatenate([lin.T, ang.T], axis=0)
 
 

@@ -61,6 +61,11 @@ def bake_model(model: RobotModel, frame: Frame):
             "constraints kernel supports revolute chains only "
             "(the Panda); prismatic joints use the XLA path"
         )
+    if not model.is_serial:
+        raise NotImplementedError(
+            "constraints kernel supports serial chains only; branched "
+            "trees (panda_mass.urdf) use the XLA path"
+        )
     as_t = lambda a: tuple(
         tuple(float(x) for x in row) if np.ndim(row) else float(row)
         for row in np.asarray(a)

@@ -58,24 +58,25 @@ def rnea(model: RobotModel, q, qdot, qddot) -> jnp.ndarray:
     """
     dtype = q.dtype
     nj = model.nq
+    par = model.parent_indices()
 
-    v_w = jnp.zeros(3, dtype=dtype)
-    v_v = jnp.zeros(3, dtype=dtype)
+    zero3 = jnp.zeros(3, dtype=dtype)
     # Base acceleration trick: a_0 = [0; -g] makes gravity flow through the
     # recursion without explicit gravity wrenches.
-    a_w = jnp.zeros(3, dtype=dtype)
-    a_v = -model.gravity.astype(dtype)
+    base_a = (zero3, -model.gravity.astype(dtype))
 
     Es, rs, vs, accs = [], [], [], []
     for i in range(nj):
         E, r = _joint_transform(model, i, q[i])
         s_w, s_v = _joint_motion(model, i, dtype)
+        vp = vs[par[i]] if par[i] >= 0 else (zero3, zero3)
+        ap = accs[par[i]] if par[i] >= 0 else base_a
 
-        v_w, v_v = spatial.transform_motion(E, r, v_w, v_v)
+        v_w, v_v = spatial.transform_motion(E, r, *vp)
         v_w = v_w + s_w * qdot[i]
         v_v = v_v + s_v * qdot[i]
 
-        a_w, a_v = spatial.transform_motion(E, r, a_w, a_v)
+        a_w, a_v = spatial.transform_motion(E, r, *ap)
         c_w, c_v = spatial.cross_motion(v_w, v_v, s_w * qdot[i], s_v * qdot[i])
         a_w = a_w + s_w * qddot[i] + c_w
         a_v = a_v + s_v * qddot[i] + c_v
@@ -85,22 +86,27 @@ def rnea(model: RobotModel, q, qdot, qddot) -> jnp.ndarray:
         vs.append((v_w, v_v))
         accs.append((a_w, a_v))
 
+    # Backward sweep in reverse topological order: each joint's subtree
+    # wrench projects onto its motion subspace, then transforms into the
+    # parent's slot (fs[i] accumulates joint i's own body wrench plus all
+    # already-processed children's back-transformed wrenches).
     taus = [None] * nj
-    f_w = jnp.zeros(3, dtype=dtype)
-    f_v = jnp.zeros(3, dtype=dtype)
+    fs = [(zero3, zero3)] * nj
     for i in range(nj - 1, -1, -1):
         vw, vv = vs[i]
         aw, av = accs[i]
         Iw, Iv = spatial.inertia_apply(model.mass[i], model.com[i], model.inertia[i], aw, av)
         hw, hv = spatial.inertia_apply(model.mass[i], model.com[i], model.inertia[i], vw, vv)
         bw, bv = spatial.cross_force(vw, vv, hw, hv)
-        f_w = f_w + Iw + bw
-        f_v = f_v + Iv + bv
+        f_w = fs[i][0] + Iw + bw
+        f_v = fs[i][1] + Iv + bv
 
         s_w, s_v = _joint_motion(model, i, dtype)
         taus[i] = jnp.dot(s_w, f_w) + jnp.dot(s_v, f_v)
 
-        f_w, f_v = spatial.transform_force_back(Es[i], rs[i], f_w, f_v)
+        if par[i] >= 0:
+            pw, pv = spatial.transform_force_back(Es[i], rs[i], f_w, f_v)
+            fs[par[i]] = (fs[par[i]][0] + pw, fs[par[i]][1] + pv)
 
     return jnp.stack(taus)
 
@@ -142,15 +148,18 @@ def kinetic_energy(model: RobotModel, q, qdot):
     Used as an independent oracle for RNEA (Lagrangian vs Newton-Euler).
     """
     dtype = q.dtype
-    v_w = jnp.zeros(3, dtype=dtype)
-    v_v = jnp.zeros(3, dtype=dtype)
+    zero3 = jnp.zeros(3, dtype=dtype)
+    par = model.parent_indices()
+    vs = []
     ke = jnp.zeros((), dtype=dtype)
     for i in range(model.nq):
         E, r = _joint_transform(model, i, q[i])
         s_w, s_v = _joint_motion(model, i, dtype)
-        v_w, v_v = spatial.transform_motion(E, r, v_w, v_v)
+        vp = vs[par[i]] if par[i] >= 0 else (zero3, zero3)
+        v_w, v_v = spatial.transform_motion(E, r, *vp)
         v_w = v_w + s_w * qdot[i]
         v_v = v_v + s_v * qdot[i]
+        vs.append((v_w, v_v))
         hw, hv = spatial.inertia_apply(model.mass[i], model.com[i], model.inertia[i], v_w, v_v)
         ke = ke + 0.5 * (jnp.dot(v_w, hw) + jnp.dot(v_v, hv))
     return ke
