@@ -80,3 +80,12 @@ if [ "$phase" = tune ]; then
   run b2048_ruiz4_alpha17 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=4 BENCH_ALPHA=1.7
   run b2048_ruiz4_alpha18 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=4 BENCH_ALPHA=1.8
 fi
+
+if [ "$phase" = ruiz0 ]; then
+  # ruiz2 beat ruiz4 (9798/0.9990 vs 9670/0.9983): bracket to the floor.
+  # ruiz0 = unscaled, the reference's own configuration
+  # (motionPlanner.cpp:21 has scaling commented out).
+  run b2048_ruiz1 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=1
+  run b2048_ruiz0 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=0
+  run b2048_ruiz2_rescue700 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=2 BENCH_RESCUE_ITERS=700
+fi

@@ -74,9 +74,9 @@ def main():
     max_iter = int(os.environ.get("BENCH_QP_MAX_ITER", "700"))
     check_every = int(os.environ.get("BENCH_CHECK_EVERY", "25"))
     kkt_factor = os.environ.get("BENCH_KKT_FACTOR", "lu")
-    # Ruiz equilibration sweeps (QPSettings.ruiz_iters); the default 10 is
-    # conservative — each sweep costs a structured apply pair per QP.
-    ruiz_iters = int(os.environ.get("BENCH_RUIZ_ITERS", "10"))
+    # Ruiz equilibration sweeps (QPSettings.ruiz_iters): 2 measured best
+    # on BOTH throughput and convergence (r05 bracket, KERNELS.md).
+    ruiz_iters = int(os.environ.get("BENCH_RUIZ_ITERS", "2"))
     # Early-exit compaction for the fused structured kernel (see
     # QPSettings.exit_every/exit_warmup/exit_schedule): one late
     # compaction boundary (warmup 300, then a single 400-iteration

@@ -57,9 +57,15 @@ class QPSettings:
     alpha: float = dataclasses.field(default=1.6, metadata={"static": True})
     # Ruiz equilibration sweeps (0 disables). The reference's boxADMM runs
     # unscaled (its `scaling` knob is commented out, motionPlanner.cpp:21);
-    # the NLP rows span ~2 orders of magnitude so scaling is load-bearing
-    # for convergence within the 700-iteration budget.
-    ruiz_iters: int = dataclasses.field(default=10, metadata={"static": True})
+    # the NLP rows span ~2 orders of magnitude so SOME scaling is
+    # load-bearing for convergence within the 700-iteration budget — but
+    # fewer sweeps are measured BETTER on both axes (r05 bracket at
+    # B=2048, experiments/r05_results.jsonl: 2 sweeps 9798 solves/s /
+    # conv 0.9990, 4 -> 9670 / 0.9983, 6 -> 9383 / 0.9941, 10 -> 9336 /
+    # 0.9939, violation unchanged): full equilibration distorts the
+    # effective per-row rho pattern more than it helps conditioning on
+    # this workload. Production default 2 (r05; was 10 through r04).
+    ruiz_iters: int = dataclasses.field(default=2, metadata={"static": True})
     # OSQP-style adaptive rho: per-problem rescale every `rho_update_every`
     # iterations by sqrt(prim/dual residual ratio) (0 disables).
     rho_update_every: int = dataclasses.field(default=100, metadata={"static": True})
