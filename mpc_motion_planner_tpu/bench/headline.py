@@ -92,6 +92,10 @@ def main():
     # max_iter (QPSettings.rescue_iters; nearly free on the compacted
     # early-exit path).
     rescue_iters = int(os.environ.get("BENCH_RESCUE_ITERS", "0"))
+    # Per-SQP-step ADMM schedules (SQPSettings.qp_step_schedules), e.g.
+    # "300,400;200,300" — the dual-warm-started step-1 QP converges
+    # faster and can run a shorter warmup + budget.
+    sqp_schedules = os.environ.get("BENCH_SQP_SCHEDULES", "")
     # ADMM penalty / over-relaxation knobs for operating-point sweeps.
     rho = float(os.environ.get("BENCH_RHO", "0.1"))
     alpha = float(os.environ.get("BENCH_ALPHA", "1.6"))
@@ -111,9 +115,12 @@ def main():
     def make_run(backend, fused):
         import dataclasses as _dc
 
+        from mpc_motion_planner_tpu.ops.sqp import SQPSettings
+
         planner = MotionPlanner(
             margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1),
             qp_settings=make_settings(backend),
+            sqp_settings=SQPSettings(qp_step_schedules=sqp_schedules),
         )
         # fused-constraints routing is a STATIC ocp field (part of the jit
         # cache key); the fallback path rebuilds the planner with it off
@@ -227,6 +234,7 @@ def main():
         "exit_every": exit_every,
         "exit_warmup": exit_warmup,
         "exit_schedule": exit_schedule,
+        "sqp_schedules": sqp_schedules,
         "rescue_iters": rescue_iters,
         "ruiz_iters": ruiz_iters,
         "rho": rho,

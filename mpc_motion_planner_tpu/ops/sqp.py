@@ -94,6 +94,22 @@ class SQPSettings:
     box_slack_penalty: float = dataclasses.field(
         default=3.0, metadata={"static": True}
     )
+    # Per-SQP-step ADMM budgets: semicolon-separated exit_schedule
+    # strings, one per SQP iteration (e.g. "300,400;200,300"). SQP step i
+    # solves its QP with QPSettings.exit_schedule replaced by entry
+    # min(i, last) and max_iter replaced by that entry's chunk sum; empty
+    # keeps the single shared QPSettings (reference behavior — polyMPC
+    # uses one solver instance for every SQP iteration). Why this knob
+    # exists: the step-1 QP is dual-warm-started from step 0 on a nearly
+    # unchanged linearization and converges measurably faster (iteration
+    # p50 125 vs 175, p99 500 vs 638 at the ruiz2 production defaults,
+    # experiments/r05_results.jsonl "iters" phase), yet a shared schedule
+    # makes it pay the same 300-iteration warmup chunk across the whole
+    # batch. On non-pallas backends the per-step max_iter still applies
+    # (the schedule itself is a structured_pallas dispatch concept).
+    qp_step_schedules: str = dataclasses.field(
+        default="", metadata={"static": True}
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -293,6 +309,24 @@ def _sqp_solve_impl(
     else:
         soft_x = None
 
+    # Per-step QP budgets (SQPSettings.qp_step_schedules): step i swaps in
+    # its own exit_schedule + max_iter; the QPSettings are static jit
+    # fields, so each distinct schedule simply becomes part of that step's
+    # traced solver — the SQP loop below is a Python loop.
+    step_qp_settings = [qp_settings] * settings.max_iter
+    if settings.qp_step_schedules:
+        entries = [
+            e.strip()
+            for e in settings.qp_step_schedules.split(";")
+            if e.strip()
+        ]
+        for i in range(settings.max_iter):
+            sched = entries[min(i, len(entries) - 1)]
+            chunks = [int(c) for c in sched.split(",")]
+            step_qp_settings[i] = dataclasses.replace(
+                qp_settings, exit_schedule=sched, max_iter=sum(chunks)
+            )
+
     structured = qp_settings.backend in ("structured", "structured_pallas")
     if qp_settings.backend == "structured_pallas":
         from .pallas.structured_admm import solve_box_qp_structured_pallas
@@ -301,7 +335,8 @@ def _sqp_solve_impl(
     else:
         structured_solver = solve_box_qp_structured
 
-    for _ in range(settings.max_iter):
+    for step in range(settings.max_iter):
+        qs = step_qp_settings[step]
         # ---- full relinearization at the current iterate ----
         c_eq = jax.vmap(ocp.eq_residual)(z)  # (B, num_eq)
         if structured:
@@ -330,12 +365,12 @@ def _sqp_solve_impl(
         ux = ub_var - z
         if structured:
             qp: QPSolution = structured_solver(
-                ocp, sa, P_diag, h, lc, uc, lx, ux, qp_settings,
+                ocp, sa, P_diag, h, lc, uc, lx, ux, qs,
                 yc0=lam_c, yx0=lam_x, soft_c=soft_c, soft_x=soft_x,
             )
         else:
             qp = solve_box_qp(
-                P_diag, h, A, lc, uc, lx, ux, qp_settings,
+                P_diag, h, A, lc, uc, lx, ux, qs,
                 yc0=lam_c, yx0=lam_x, soft_c=soft_c, soft_x=soft_x,
             )
         d = qp.x

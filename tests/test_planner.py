@@ -221,3 +221,35 @@ def test_hot_restart_receding_horizon(planner, solved):
         t_now = float(sol.final_time[0])
         assert t_now <= t_prev * 1.02
         t_prev = t_now
+
+
+def test_per_step_qp_schedules(planner, solved):
+    """SQPSettings.qp_step_schedules gives each SQP iteration its own
+    ADMM budget: step i's QP runs with max_iter = that entry's chunk sum
+    (and, on the structured_pallas backend, that exit_schedule). The
+    step-1 QP is dual-warm-started on a nearly unchanged linearization
+    and needs measurably fewer iterations (r05 `iters` phase: p50 125 vs
+    175), so a shorter step-1 budget must not change the solution on an
+    easy problem — and the budget cap must actually bind."""
+    cur, tgt, sol = solved
+    stepped = MotionPlanner(
+        margins=planner.margins,
+        qp_settings=planner.qp_settings,
+        sqp_settings=SQPSettings(qp_step_schedules="300,400;200,300"),
+    )
+    sol2 = stepped.solve(cur, tgt)
+    # the easy problem converges inside both budgets -> same solution
+    np.testing.assert_allclose(
+        np.asarray(sol2.z), np.asarray(sol.z), rtol=0, atol=5e-3
+    )
+    assert bool(np.all(np.asarray(sol2.qp_converged)))
+
+    # a deliberately tiny step-1 budget must actually bind the cap
+    capped = MotionPlanner(
+        margins=planner.margins,
+        qp_settings=planner.qp_settings,
+        sqp_settings=SQPSettings(qp_step_schedules="300,400;50"),
+    )
+    it = np.asarray(capped.solve(cur, tgt).qp_iterations)
+    assert it.shape[-1] == 2
+    assert int(it[..., 1].max()) <= 50
