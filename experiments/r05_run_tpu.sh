@@ -89,3 +89,16 @@ if [ "$phase" = ruiz0 ]; then
   run b2048_ruiz0 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=0
   run b2048_ruiz2_rescue700 BENCH_BATCH=2048 BENCH_RUIZ_ITERS=2 BENCH_RESCUE_ITERS=700
 fi
+
+if [ "$phase" = steps ]; then
+  # Per-SQP-step ADMM schedules (SQPSettings.qp_step_schedules): the
+  # dual-warm-started step-1 QP converges faster (iters p50 125 vs 175,
+  # p99 500 vs 638 at ruiz2) — shorten its warmup chunk + budget. Fresh
+  # same-day control first; check_every=50 probes the residual-check
+  # cost at the shipped schedule.
+  run b2048_control BENCH_BATCH=2048
+  run b2048_steps_200_300 BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="300,400;200,300"
+  run b2048_steps_200_200 BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="300,400;200,200"
+  run b2048_steps_250_450_200_300 BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="250,450;200,300"
+  run b2048_check50 BENCH_BATCH=2048 BENCH_CHECK_EVERY=50
+fi

@@ -47,6 +47,11 @@ def main(argv=None):
     ap.add_argument("--exit-schedule", default=None,
                     help="explicit comma-separated chunk schedule "
                          "(QPSettings.exit_schedule, e.g. 150,150,400)")
+    ap.add_argument("--sqp-schedules", default=None,
+                    help="per-SQP-step ADMM chunk schedules, e.g. "
+                         "'300,400;200,300' (SQPSettings.qp_step_schedules"
+                         "; the dual-warm-started step-1 QP converges "
+                         "faster and can run a shorter budget)")
     ap.add_argument("--rescue-iters", type=int, default=None,
                     help="extra ADMM budget for unconverged stragglers "
                          "(QPSettings.rescue_iters)")
@@ -95,9 +100,17 @@ def main(argv=None):
         qp_kw["exit_schedule"] = args.exit_schedule
     if args.rescue_iters is not None:
         qp_kw["rescue_iters"] = args.rescue_iters
+    planner_kw = {}
+    if args.sqp_schedules is not None:
+        from mpc_motion_planner_tpu.ops.sqp import SQPSettings
+
+        planner_kw["sqp_settings"] = SQPSettings(
+            qp_step_schedules=args.sqp_schedules
+        )
     planner = MotionPlanner(
         margins=Margins(*args.margins),
         qp_settings=QPSettings(**qp_kw),
+        **planner_kw,
     )
 
     # soft-row mask for the elastic variable box (SQPSettings

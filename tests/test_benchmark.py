@@ -231,3 +231,43 @@ def test_optimal_solution_format(tmp_path, planner, small_run):
     data = np.loadtxt(path)
     assert data.shape == (1 + 201 + 201, 29)
     np.testing.assert_allclose(data[0, 1:15], np.asarray(tgt[0]), atol=1e-6)
+
+
+def test_committed_acceptance_artifact_matches_results_md(planner):
+    """RESULTS.md's headline numbers are re-derivable from the committed
+    round-5 acceptance artifact — pins doc/artifact consistency so a
+    regenerated artifact or an analysis-code change cannot silently
+    desynchronize the two. (Artifact: 1000 trajectories at the shipping
+    defaults on v5e, analysis/benchmark_data_r05.txt.gz.)"""
+    import pathlib
+
+    from mpc_motion_planner_tpu.bench.analysis import (
+        accuracy_stats,
+        violation_counts_reference,
+    )
+
+    path = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "analysis" / "benchmark_data_r05.txt.gz"
+    )
+    if not path.exists():
+        pytest.skip("acceptance artifact not present")
+    rec = np.loadtxt(path)
+    assert rec.shape == (1000, 162)
+
+    acc_planner = MotionPlanner(margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1))
+    ref = violation_counts_reference(rec, acc_planner.limits)
+    # RESULTS.md "reference convention" table
+    assert ref["mpc"]["position_fails"] == 0
+    assert ref["mpc"]["velocity_fails"] == 0
+    assert ref["mpc"]["torqueAccel_fails"] == 0
+    assert ref["mpc"]["Jerk_fails"] == 0
+    assert ref["mpc"]["total"] == 267
+    assert ref["ruckig"]["total"] == 290
+
+    acc = accuracy_stats(rec)
+    # 100% inside the +-(1e-2 + eps_abs) box; final states sit ON the
+    # terminal-box boundary to f32 rounding
+    assert acc["mpc"]["within_box_plus_tol"] == 1.0
+    assert acc["mpc"]["err_inf_max"] <= 1e-2 + 1e-6
+    assert acc["ruckig"]["within_target_box"] == 1.0
