@@ -102,3 +102,39 @@ if [ "$phase" = steps ]; then
   run b2048_steps_250_450_200_300 BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="250,450;200,300"
   run b2048_check50 BENCH_BATCH=2048 BENCH_CHECK_EVERY=50
 fi
+
+if [ "$phase" = steps2 ]; then
+  # refinement around the steps winner "250,450;200,300" (10750 solves/s
+  # vs control 9798): push both warmup cuts deeper, fold rescue to
+  # recover the conv dip (0.9990 -> 0.9978), re-measure the winner, and
+  # take a clean control (the first control of the `steps` phase
+  # collided with a stray same-device compile and recorded a bogus
+  # 0.2 ms wall).
+  run b2048_control2 BENCH_BATCH=2048
+  run b2048_steps_250_450_150_350 BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="250,450;150,350"
+  run b2048_steps_200_500_150_350 BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="200,500;150,350"
+  run b2048_steps_winner_rescue200 BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="250,450;200,300" BENCH_RESCUE_ITERS=200
+  run b2048_steps_winner_repeat BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="250,450;200,300"
+fi
+
+if [ "$phase" = steps3 ]; then
+  # bracket the step-0 warmup to the floor around the steps2 winner
+  # "200,500;150,350" (11169 solves/s, conv 0.9978): the old
+  # one-schedule-for-both-steps [150,550] loss (8634 at ruiz10) does not
+  # bind at ruiz2 + per-step budgets. Also fold rescue on the winner.
+  run b2048_steps_150_550_150_350 BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="150,550;150,350"
+  run b2048_steps_200_500_100_400 BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="200,500;100,400"
+  run b2048_steps3_winner_rescue200 BENCH_BATCH=2048 BENCH_SQP_SCHEDULES="200,500;150,350" BENCH_RESCUE_ITERS=200
+  run b4096_steps3_winner BENCH_BATCH=4096 BENCH_SQP_SCHEDULES="200,500;150,350"
+fi
+
+if [ "$phase" = bdep ]; then
+  # batch-dependence of the per-step schedules: at B=250 (acceptance
+  # protocol) the compacted batch is only ~2 programs, so warmup-cut
+  # savings shrink while the extra boundary re-layout stays — measure
+  # the crossover to set the shipping auto-resolution threshold.
+  run b256_steps_winner BENCH_BATCH=256 BENCH_SQP_SCHEDULES="200,500;150,350"
+  run b256_shared BENCH_BATCH=256 BENCH_SQP_SCHEDULES=""
+  run b1024_steps_winner BENCH_BATCH=1024 BENCH_SQP_SCHEDULES="200,500;150,350"
+  run b1024_shared BENCH_BATCH=1024 BENCH_SQP_SCHEDULES=""
+fi

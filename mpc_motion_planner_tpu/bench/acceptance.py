@@ -47,11 +47,13 @@ def main(argv=None):
     ap.add_argument("--exit-schedule", default=None,
                     help="explicit comma-separated chunk schedule "
                          "(QPSettings.exit_schedule, e.g. 150,150,400)")
-    ap.add_argument("--sqp-schedules", default=None,
+    ap.add_argument("--sqp-schedules", default="auto",
                     help="per-SQP-step ADMM chunk schedules, e.g. "
-                         "'300,400;200,300' (SQPSettings.qp_step_schedules"
+                         "'200,500;150,350' (SQPSettings.qp_step_schedules"
                          "; the dual-warm-started step-1 QP converges "
-                         "faster and can run a shorter budget)")
+                         "faster and can run a shorter budget). auto = "
+                         "the shipping schedule for the resolved backend "
+                         "(config.py); '' disables")
     ap.add_argument("--rescue-iters", type=int, default=None,
                     help="extra ADMM budget for unconverged stragglers "
                          "(QPSettings.rescue_iters)")
@@ -100,8 +102,12 @@ def main(argv=None):
         qp_kw["exit_schedule"] = args.exit_schedule
     if args.rescue_iters is not None:
         qp_kw["rescue_iters"] = args.rescue_iters
+    if args.sqp_schedules == "auto":
+        from mpc_motion_planner_tpu.config import shipping_sqp_schedules
+
+        args.sqp_schedules = shipping_sqp_schedules(args.qp_backend)
     planner_kw = {}
-    if args.sqp_schedules is not None:
+    if args.sqp_schedules:
         from mpc_motion_planner_tpu.ops.sqp import SQPSettings
 
         planner_kw["sqp_settings"] = SQPSettings(

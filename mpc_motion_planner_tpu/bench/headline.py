@@ -93,9 +93,15 @@ def main():
     # early-exit path).
     rescue_iters = int(os.environ.get("BENCH_RESCUE_ITERS", "0"))
     # Per-SQP-step ADMM schedules (SQPSettings.qp_step_schedules), e.g.
-    # "300,400;200,300" — the dual-warm-started step-1 QP converges
-    # faster and can run a shorter warmup + budget.
-    sqp_schedules = os.environ.get("BENCH_SQP_SCHEDULES", "")
+    # "200,500;150,350" — the dual-warm-started step-1 QP converges
+    # faster and can run a shorter warmup + budget. "auto" resolves to
+    # the shipping schedule for the resolved backend (config.py);
+    # "" disables (shared schedule for both steps).
+    sqp_schedules = os.environ.get("BENCH_SQP_SCHEDULES", "auto")
+    if sqp_schedules == "auto":
+        from mpc_motion_planner_tpu.config import shipping_sqp_schedules
+
+        sqp_schedules = shipping_sqp_schedules(backend)
     # ADMM penalty / over-relaxation knobs for operating-point sweeps.
     rho = float(os.environ.get("BENCH_RHO", "0.1"))
     alpha = float(os.environ.get("BENCH_ALPHA", "1.6"))
