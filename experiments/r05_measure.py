@@ -33,8 +33,9 @@ def emit(rec):
         f.write(line + "\n")
 
 
-def make_planner(**qp_kw):
+def make_planner(sqp_schedules=None, **qp_kw):
     from mpc_motion_planner_tpu.ops.qp import QPSettings
+    from mpc_motion_planner_tpu.ops.sqp import SQPSettings
     from mpc_motion_planner_tpu.planner import Margins, MotionPlanner
 
     kw = dict(
@@ -42,9 +43,15 @@ def make_planner(**qp_kw):
         max_iter=700,
     )
     kw.update(qp_kw)
+    planner_kw = {}
+    if sqp_schedules is not None:
+        planner_kw["sqp_settings"] = SQPSettings(
+            qp_step_schedules=sqp_schedules
+        )
     return MotionPlanner(
         margins=Margins(0.8, 0.8, 0.6, 0.9, 0.1),
         qp_settings=QPSettings(**kw),
+        **planner_kw,
     )
 
 

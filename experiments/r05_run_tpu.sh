@@ -138,3 +138,11 @@ if [ "$phase" = bdep ]; then
   run b1024_steps_winner BENCH_BATCH=1024 BENCH_SQP_SCHEDULES="200,500;150,350"
   run b1024_shared BENCH_BATCH=1024 BENCH_SQP_SCHEDULES=""
 fi
+
+if [ "$phase" = rho2 ]; then
+  # final rho bracket at the shipping schedule (the r05 rho sweep ran at
+  # ruiz4 + shared schedule): if neither side wins, the operating point
+  # is tuned.
+  run b2048_winner_rho008 BENCH_BATCH=2048 BENCH_RHO=0.08
+  run b2048_winner_rho012 BENCH_BATCH=2048 BENCH_RHO=0.12
+fi
